@@ -1,0 +1,296 @@
+"""Validation runner: plans all checks into as few passes as possible and
+emits (violations DF, per-partition verdicts DF).
+
+Plan shape (scale rationale):
+
+* Partition identity is a DATA attribute — ``part_id =
+  pmod(xxhash64(conv_id), n_buckets)`` — never a physical split, so
+  verdicts are stable across cluster sizes / file layouts (SURVEY §7.4
+  risk 1). All rows of a conversation land in one part_id.
+* All row-level predicates + referential joins + window flags are folded
+  into ONE flagged scan; violation rows come from exploding a compacted
+  struct array (rows with no failures are dropped by ``explode`` for
+  free). No per-check scans.
+* Uniqueness runs as a salted two-phase aggregation (partial counts per
+  input split → final merge), so a hot (conv_id, turn_idx) key never
+  concentrates on one reducer.
+* Verdicts = tiny aggregates: violation counts per (part_id, check_id)
+  joined against per-partition row counts (a column-pruned narrow scan).
+  Nothing driver-side is proportional to row count.
+
+The per-row verdict record mirrors the reference's ``AnomalyResult``
+(``anomaly-detection-service/anomaly_detection_service.py:58-68``); the
+per-partition pass/fail mirrors its OK/WARNING/CRITICAL CASE thresholds
+(``grafana/grafana_test_queries.sql:34-52``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.constraints import dsl
+from hdfs_anomaly_detection_spark.constraints.dsl import (
+    Check,
+    Drift,
+    MonotonicOrder,
+    RefIntegrity,
+    TextEquals,
+    Unique,
+)
+from hdfs_anomaly_detection_spark.functions.text import canonicalize
+
+VIOLATIONS_SCHEMA = (
+    "part_id int, check_id string, conv_id string, turn_idx int, column string, detail string"
+)
+VERDICTS_SCHEMA = (
+    "part_id int, check_id string, n_rows bigint, n_violations bigint, "
+    "statistic double, passed boolean"
+)
+
+
+def part_id_expr(conv_col: str = "conv_id", n_buckets: int = 32) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame  # VIOLATIONS_SCHEMA
+    verdicts: DataFrame  # VERDICTS_SCHEMA
+
+
+class ValidationRunner:
+    def __init__(
+        self,
+        checks: list[Check],
+        n_buckets: int = 32,
+        dims: dict[str, DataFrame] | None = None,
+        reference: DataFrame | None = None,
+        baselines: dict[str, list] | None = None,
+    ) -> None:
+        self.checks = checks
+        self.n_buckets = n_buckets
+        self.dims = dims or {}
+        self.reference = reference
+        self.baselines = baselines or {}
+
+    # ------------------------------------------------------------------ plan
+
+    def _flagged(self, fact: DataFrame) -> tuple[DataFrame, list[tuple[Check, str]]]:
+        """One wide scan carrying a boolean flag column per row-expressible
+        check (row predicates, referential joins, window ordering, text
+        equality). Returns (flagged_df, [(check, flag_col)])."""
+        df = fact.withColumn("part_id", part_id_expr(n_buckets=self.n_buckets))
+        flags: list[tuple[Check, str]] = []
+
+        for i, chk in enumerate(dsl.row_level(self.checks)):
+            col = f"__v{i}"
+            df = df.withColumn(col, F.coalesce(chk.violation_expr(), F.lit(False)))
+            flags.append((chk, col))
+
+        for j, chk in enumerate(dsl.of_type(self.checks, RefIntegrity)):
+            col = f"__r{j}"
+            dim = self.dims[chk.dim]
+            pk = chk.pk or chk.fk
+            sel = dim.select(
+                *[F.col(p).alias(f"__pk{j}_{k}") for k, p in enumerate(pk)]
+            ).dropDuplicates()
+            if chk.broadcast:
+                sel = F.broadcast(sel)
+            cond = None
+            for k, fk_col in enumerate(chk.fk):
+                c = df[fk_col].eqNullSafe(sel[f"__pk{j}_{k}"])
+                cond = c if cond is None else cond & c
+            df = df.join(sel, cond, "left")
+            dangling = F.col(f"__pk{j}_0").isNull()
+            if chk.ignore_null:
+                notnull = None
+                for fk_col in chk.fk:
+                    nn = F.col(fk_col).isNotNull()
+                    notnull = nn if notnull is None else notnull & nn
+                dangling = notnull & dangling
+            df = df.withColumn(col, dangling).drop(
+                *[f"__pk{j}_{k}" for k in range(len(pk))]
+            )
+            flags.append((chk, col))
+
+        for m, chk in enumerate(dsl.of_type(self.checks, MonotonicOrder)):
+            col = f"__w{m}"
+            w = Window.partitionBy(*chk.partition_cols).orderBy(
+                chk.order_col, *chk.tiebreak
+            )
+            cur = F.col(chk.order_col)
+            prev = F.lag(chk.order_col).over(w)
+            if chk.contiguous:
+                step_bad = cur != prev + 1
+            else:
+                step_bad = cur <= prev
+            first_bad = (
+                (cur != F.lit(chk.start)) if chk.start is not None else F.lit(False)
+            )
+            df = df.withColumn(
+                col, F.when(prev.isNull(), first_bad).otherwise(step_bad)
+            ).withColumn(f"{col}_prev", prev)
+            flags.append((chk, col))
+
+        for t, chk in enumerate(dsl.of_type(self.checks, TextEquals)):
+            if self.reference is None:
+                continue
+            col = f"__t{t}"
+            ref_text = f"__ref{t}_text"
+            ref = self.reference.select(
+                *[F.col(k).alias(f"__ref{t}_{k}") for k in chk.keys],
+                F.col(chk.column).alias(ref_text),
+            ).dropDuplicates([f"__ref{t}_{k}" for k in chk.keys])
+            cond = None
+            for k in chk.keys:
+                c = df[k].eqNullSafe(ref[f"__ref{t}_{k}"])
+                cond = c if cond is None else cond & c
+            df = df.join(ref, cond, "left")
+            lhs = canonicalize(F.col(chk.column)) if chk.canonicalize else F.col(chk.column)
+            rhs = canonicalize(F.col(ref_text)) if chk.canonicalize else F.col(ref_text)
+            df = df.withColumn(
+                col,
+                F.col(ref_text).isNotNull()
+                & F.col(chk.column).isNotNull()
+                & (lhs != rhs),
+            ).drop(*[f"__ref{t}_{k}" for k in chk.keys], ref_text)
+            flags.append((chk, col))
+
+        return df, flags
+
+    def _detail(self, chk: Check, flag_col: str) -> F.Column:
+        if isinstance(chk, RefIntegrity):
+            return F.format_string(
+                f"dangling fk ({','.join(chk.fk)})=%s vs dim {chk.dim}",
+                F.concat_ws(",", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in chk.fk]),
+            )
+        if isinstance(chk, MonotonicOrder):
+            return F.format_string(
+                "order violation prev=%s cur=%s",
+                F.coalesce(F.col(f"{flag_col}_prev").cast("string"), F.lit("START")),
+                F.col(chk.order_col).cast("string"),
+            )
+        if isinstance(chk, TextEquals):
+            return F.lit("canonical text differs from reference")
+        return chk.detail_expr()
+
+    def _column_of(self, chk: Check) -> str:
+        if isinstance(chk, RefIntegrity):
+            return ",".join(chk.fk)
+        if isinstance(chk, MonotonicOrder):
+            return chk.order_col
+        if isinstance(chk, TextEquals):
+            return chk.column
+        return chk.column_name()
+
+    def _row_violations(self, flagged: DataFrame, flags: list[tuple[Check, str]]) -> DataFrame:
+        if not flags:
+            return flagged.sparkSession.createDataFrame([], VIOLATIONS_SCHEMA)
+        structs = [
+            F.when(
+                F.col(col),
+                F.struct(
+                    F.lit(chk.name).alias("check_id"),
+                    F.lit(self._column_of(chk)).alias("column"),
+                    self._detail(chk, col).alias("detail"),
+                ),
+            )
+            for chk, col in flags
+        ]
+        return (
+            flagged.select(
+                "part_id",
+                "conv_id",
+                "turn_idx",
+                F.explode(F.array_compact(F.array(*structs))).alias("v"),
+            )
+            .select(
+                "part_id",
+                F.col("v.check_id").alias("check_id"),
+                "conv_id",
+                "turn_idx",
+                F.col("v.column").alias("column"),
+                F.col("v.detail").alias("detail"),
+            )
+        )
+
+    def _unique_violations(self, fact: DataFrame) -> DataFrame | None:
+        out = None
+        for chk in dsl.of_type(self.checks, Unique):
+            key = list(chk.columns)
+            if chk.salted:
+                # phase 1: partial counts keyed by input split (explicit salt)
+                partial = fact.groupBy(
+                    *key, F.spark_partition_id().alias("__salt")
+                ).agg(F.count(F.lit(1)).alias("__c"))
+                totals = partial.groupBy(*key).agg(F.sum("__c").alias("__n"))
+            else:
+                totals = fact.groupBy(*key).agg(F.count(F.lit(1)).alias("__n"))
+            dupes = totals.filter(F.col("__n") > 1).select(
+                part_id_expr(n_buckets=self.n_buckets).alias("part_id")
+                if "conv_id" in key
+                else F.lit(None).cast("int").alias("part_id"),
+                F.lit(chk.name).alias("check_id"),
+                (F.col("conv_id") if "conv_id" in key else F.lit(None)).cast("string").alias("conv_id"),
+                (F.col("turn_idx") if "turn_idx" in key else F.lit(None)).cast("int").alias("turn_idx"),
+                F.lit(",".join(key)).alias("column"),
+                F.format_string("duplicate key count=%s", F.col("__n").cast("string")).alias("detail"),
+            )
+            out = dupes if out is None else out.unionByName(dupes)
+        return out
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, fact: DataFrame) -> ValidationResult:
+        spark = fact.sparkSession
+        flagged, flags = self._flagged(fact)
+        violations = self._row_violations(flagged, flags)
+        uniq = self._unique_violations(fact)
+        if uniq is not None:
+            violations = violations.unionByName(uniq)
+
+        # per-partition row counts: narrow, column-pruned scan
+        parts = fact.select(part_id_expr(n_buckets=self.n_buckets).alias("part_id")).groupBy(
+            "part_id"
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+        count_checks = [c for c in self.checks if not isinstance(c, Drift)]
+        grid = parts.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(c.name, float(c.max_violation_rate)) for c in count_checks],
+                    "check_id string, max_rate double",
+                )
+            )
+        )
+        counts = violations.groupBy("part_id", "check_id").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        verdicts = (
+            grid.join(counts, ["part_id", "check_id"], "left")
+            .select(
+                "part_id",
+                "check_id",
+                "n_rows",
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+                F.lit(None).cast("double").alias("statistic"),
+                (
+                    F.coalesce(F.col("n_violations"), F.lit(0))
+                    <= F.col("max_rate") * F.col("n_rows")
+                ).alias("passed"),
+            )
+        )
+
+        drift_checks = dsl.of_type(self.checks, Drift)
+        if drift_checks and self.baselines:
+            from hdfs_anomaly_detection_spark.sketch.drift import drift_verdicts
+
+            dv = drift_verdicts(
+                fact, drift_checks, self.baselines, n_buckets=self.n_buckets
+            )
+            verdicts = verdicts.unionByName(dv)
+
+        return ValidationResult(violations=violations, verdicts=verdicts)
