@@ -1,0 +1,10 @@
+from hdfs_anomaly_detection_spark.sketch.tdigest import (  # noqa: F401
+    TDigest,
+    build_partition_digests,
+    metric_frame,
+)
+from hdfs_anomaly_detection_spark.sketch.drift import (  # noqa: F401
+    drift_verdicts,
+    ks_statistic,
+    psi,
+)

@@ -1,0 +1,108 @@
+"""Distribution-drift scoring: KS and PSI between t-digest sketches.
+
+Per-partition digests of the current run are compared against baseline
+digests (same metric, same part_id). Driver-side work is
+O(n_buckets × metrics × centroids) — never proportional to rows.
+
+Reference analogue: percentile-threshold rarity labeling
+(``training/hdfs_line_level_loader_v2.py:146-147``) and score/confidence
+distribution dashboards (``grafana/grafana_test_queries.sql:88-96``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from hdfs_anomaly_detection_spark.sketch.tdigest import (
+    TDigest,
+    build_partition_digests,
+    metric_frame,
+)
+
+_EPS = 1e-6
+
+
+def ks_statistic(a: TDigest, b: TDigest) -> float:
+    """Two-sample KS statistic approximated on the union of centroid means."""
+    if a.n == 0 or b.n == 0:
+        return float("nan")
+    xs = np.unique(np.concatenate([a.means, b.means, [a.vmin, a.vmax, b.vmin, b.vmax]]))
+    return float(np.max(np.abs(a.cdf(xs) - b.cdf(xs))))
+
+
+def psi(baseline: TDigest, current: TDigest, n_bins: int = 10) -> float:
+    """Population stability index over baseline-quantile bins."""
+    if baseline.n == 0 or current.n == 0:
+        return float("nan")
+    edges = baseline.quantile(np.linspace(0.0, 1.0, n_bins + 1))
+    edges[0], edges[-1] = -np.inf, np.inf
+    edges = np.unique(edges)
+    if len(edges) < 3:
+        return 0.0
+    b_cdf = baseline.cdf(edges[1:-1])
+    c_cdf = current.cdf(edges[1:-1])
+    b_p = np.clip(np.diff(np.concatenate(([0.0], b_cdf, [1.0]))), _EPS, None)
+    c_p = np.clip(np.diff(np.concatenate(([0.0], c_cdf, [1.0]))), _EPS, None)
+    b_p, c_p = b_p / b_p.sum(), c_p / c_p.sum()
+    return float(np.sum((c_p - b_p) * np.log(c_p / b_p)))
+
+
+def digests_to_pandas(digests: DataFrame) -> pd.DataFrame:
+    """Collect a DIGEST_SCHEMA frame (tiny: n_buckets rows per metric)."""
+    return digests.toPandas()
+
+
+def _to_digest(row: pd.Series) -> TDigest:
+    return TDigest(
+        np.asarray(row["means"], dtype=float),
+        np.asarray(row["weights"], dtype=float),
+        int(row["n"]),
+        float(row["vmin"]),
+        float(row["vmax"]),
+    )
+
+
+def compute_baselines(
+    fact: DataFrame, metrics: list[str], n_buckets: int = 32
+) -> dict[str, pd.DataFrame]:
+    """Baseline digests per metric, keyed for ValidationRunner(baselines=...)."""
+    return {
+        m: digests_to_pandas(build_partition_digests(metric_frame(fact, m, n_buckets), m))
+        for m in metrics
+    }
+
+
+def drift_verdicts(
+    fact: DataFrame,
+    checks: list,  # list[dsl.Drift]
+    baselines: dict[str, pd.DataFrame],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """VERDICTS_SCHEMA rows: one per (part_id, drift-check), statistic =
+    KS or PSI vs baseline, passed = statistic ≤ threshold."""
+    spark = fact.sparkSession
+    rows: list[tuple] = []
+    for chk in checks:
+        base_pd = baselines.get(chk.metric)
+        if base_pd is None:
+            continue
+        base_by_pid = {int(r["part_id"]): _to_digest(r) for _, r in base_pd.iterrows()}
+        cur_pd = digests_to_pandas(
+            build_partition_digests(metric_frame(fact, chk.metric, n_buckets), chk.metric)
+        )
+        for _, r in cur_pd.iterrows():
+            pid = int(r["part_id"])
+            cur = _to_digest(r)
+            base = base_by_pid.get(pid)
+            if base is None:
+                rows.append((pid, chk.name, int(r["n"]), 0, float("nan"), False))
+                continue
+            stat = ks_statistic(base, cur) if chk.method == "ks" else psi(base, cur)
+            rows.append(
+                (pid, chk.name, int(r["n"]), 0, stat, bool(stat <= chk.threshold))
+            )
+    from hdfs_anomaly_detection_spark.constraints.runner import VERDICTS_SCHEMA
+
+    return spark.createDataFrame(rows, VERDICTS_SCHEMA)

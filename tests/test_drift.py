@@ -1,0 +1,88 @@
+"""t-digest sketch accuracy + KS/PSI drift detection, end to end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hdfs_anomaly_detection_spark.constraints import ValidationRunner, Drift
+from hdfs_anomaly_detection_spark.fixtures import FixtureConfig, clean_transcripts
+from hdfs_anomaly_detection_spark.sketch import TDigest, build_partition_digests, metric_frame
+from hdfs_anomaly_detection_spark.sketch.drift import compute_baselines, ks_statistic, psi
+
+
+def test_tdigest_quantiles_uniform():
+    rng = np.random.default_rng(42)
+    vals = rng.uniform(0, 1, 50_000)
+    d = TDigest.from_values(vals)
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    est = d.quantile(qs)
+    exact = np.quantile(vals, qs)
+    assert np.max(np.abs(est - exact)) < 0.01
+    assert len(d.means) < 250  # compression bound ~2*delta
+
+
+def test_tdigest_merge_equals_whole():
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3, 1, 40_000)
+    parts = [TDigest.from_values(v) for v in np.array_split(vals, 8)]
+    merged = TDigest.merge_all(parts)
+    whole = TDigest.from_values(vals)
+    qs = np.linspace(0.05, 0.95, 19)
+    rel = np.abs(merged.quantile(qs) - whole.quantile(qs)) / whole.quantile(qs)
+    assert np.max(rel) < 0.05
+    assert merged.n == len(vals)
+
+
+def test_ks_and_psi_sensitivity():
+    rng = np.random.default_rng(0)
+    a = TDigest.from_values(rng.normal(0, 1, 30_000))
+    b = TDigest.from_values(rng.normal(0, 1, 30_000))
+    c = TDigest.from_values(rng.normal(1.0, 1, 30_000))
+    assert ks_statistic(a, b) < 0.03
+    assert ks_statistic(a, c) > 0.3
+    assert psi(a, b) < 0.02
+    assert psi(a, c) > 0.5
+
+
+def test_partition_digests_match_exact_quantiles(spark):
+    cfg = FixtureConfig(n_conversations=300)
+    fact = clean_transcripts(spark, cfg)
+    mf = metric_frame(fact, "text_length", n_buckets=4)
+    digests = build_partition_digests(mf, "text_length").toPandas()
+    assert set(digests["part_id"]) == set(range(4))
+    pdf = mf.toPandas()
+    for _, r in digests.iterrows():
+        d = TDigest(np.asarray(r["means"]), np.asarray(r["weights"]), int(r["n"]),
+                    float(r["vmin"]), float(r["vmax"]))
+        vals = pdf[pdf["part_id"] == r["part_id"]]["value"].to_numpy()
+        assert d.n == len(vals)
+        est = d.quantile(np.array([0.5]))[0]
+        assert abs(est - np.quantile(vals, 0.5)) / np.quantile(vals, 0.5) < 0.1
+
+
+def test_drift_detected_end_to_end(spark):
+    clean_cfg = FixtureConfig(n_conversations=400)
+    drifted_cfg = FixtureConfig(n_conversations=400, length_drift_factor=1.5)
+    clean = clean_transcripts(spark, clean_cfg)
+    baselines = compute_baselines(clean, ["text_length", "turn_count"], n_buckets=4)
+
+    checks = [
+        Drift("drift_text_length_ks", metric="text_length", method="ks", threshold=0.1),
+        Drift("drift_turn_count_psi", metric="turn_count", method="psi", threshold=0.1),
+    ]
+    # same data vs baseline → all pass
+    ok = ValidationRunner(checks, n_buckets=4, baselines=baselines).run(clean)
+    verd = ok.verdicts.toPandas()
+    assert verd[verd["check_id"] == "drift_text_length_ks"]["passed"].all()
+    assert verd[verd["check_id"] == "drift_turn_count_psi"]["passed"].all()
+
+    # drifted lengths → text_length fails everywhere, turn_count still passes
+    drifted = clean_transcripts(spark, drifted_cfg)
+    bad = ValidationRunner(checks, n_buckets=4, baselines=baselines).run(drifted)
+    verd = bad.verdicts.toPandas()
+    tl = verd[verd["check_id"] == "drift_text_length_ks"]
+    assert not tl["passed"].any()
+    assert (tl["statistic"] > 0.1).all()
+    tc = verd[verd["check_id"] == "drift_turn_count_psi"]
+    assert tc["passed"].all()

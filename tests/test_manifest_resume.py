@@ -1,0 +1,87 @@
+"""Kill-and-resume semantics of the manifest checkpoint (SURVEY §5:
+resume test — run a partition subset, re-run, assert idempotent
+completion; reference analogue: the Redis skip-if-seen cache-hit path
+``anomaly_detection_service.py:987-1003``)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hdfs_anomaly_detection_spark.constraints import (
+    ValidationRunner,
+    default_transcript_checks,
+)
+from hdfs_anomaly_detection_spark.fixtures import FixtureConfig, build_fixture
+from hdfs_anomaly_detection_spark.manifest import ValidationJob
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    cfg = FixtureConfig(
+        n_conversations=200, null_text_rate=0.02, dup_rate=0.01, bad_role_rate=0.01
+    )
+    fx = build_fixture(spark, cfg)
+    fact_path = str(tmp_path / "transcripts")
+    fx.fact.write.mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    runner = ValidationRunner(
+        default_transcript_checks(dims=False), n_buckets=N_BUCKETS
+    )
+    job = ValidationJob(runner, str(tmp_path / "out"))
+    return spark, fact, runner, job
+
+
+def test_interrupted_then_resumed_equals_single_shot(setup):
+    spark, fact, runner, job = setup
+    # "crash" after 3 of 8 partitions
+    s1 = job.run(fact, run_id="r1", max_parts=3)
+    assert s1["processed"] == 3 and s1["skipped"] == 0
+    # resume: picks up exactly the remaining 5
+    s2 = job.run(fact, run_id="r2")
+    assert s2["processed"] == 5 and s2["skipped"] == 3
+    # third run: everything already done → no-op
+    s3 = job.run(fact, run_id="r3")
+    assert s3["processed"] == 0 and s3["skipped"] == 8
+
+    # final outputs identical to a single-shot in-memory run
+    direct = runner.run(fact)
+    got_v = job.violations(spark).toPandas()
+    exp_v = direct.violations.toPandas()
+    key = ["part_id", "check_id", "conv_id", "turn_idx", "column", "detail"]
+    got_sorted = got_v[key].astype(str).sort_values(key).reset_index(drop=True)
+    exp_sorted = exp_v[key].astype(str).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_sorted, exp_sorted)
+
+    got_verd = job.verdicts(spark).toPandas()
+    assert len(got_verd) == N_BUCKETS * len(runner.checks)
+
+    man = job.manifest(spark).toPandas()
+    assert set(man["part_id"]) == set(range(N_BUCKETS))
+    assert (man["status"] == "done").all()
+    assert man["part_id"].is_unique  # no partition processed twice
+
+
+def test_rerun_is_idempotent_no_duplicates(setup):
+    spark, fact, runner, job = setup
+    job.run(fact, run_id="a")
+    v1 = job.violations(spark).count()
+    job.run(fact, run_id="b")  # no pending → writes nothing
+    assert job.violations(spark).count() == v1
+
+
+def test_changed_input_triggers_full_rerun(setup, spark, tmp_path):
+    _, fact, runner, job = setup
+    job.run(fact, run_id="a")
+    # new input (different file set) → different fingerprint → all pending
+    fx2 = build_fixture(spark, FixtureConfig(n_conversations=150, null_text_rate=0.05))
+    p2 = str(tmp_path / "transcripts2")
+    fx2.fact.write.mode("overwrite").parquet(p2)
+    fact2 = spark.read.parquet(p2)
+    s = job.run(fact2, run_id="b")
+    assert s["skipped"] == 0 and s["processed"] > 0
+    # violations reflect ONLY the new input (stale partitions cleared)
+    direct = runner.run(fact2)
+    assert job.violations(spark).count() == direct.violations.count()
