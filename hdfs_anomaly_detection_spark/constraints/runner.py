@@ -69,12 +69,23 @@ class ValidationRunner:
         dims: dict[str, DataFrame] | None = None,
         reference: DataFrame | None = None,
         baselines: dict[str, list] | None = None,
+        part_col: str | None = None,
     ) -> None:
+        """``part_col``: use an existing int column as the partition id
+        (e.g. an Iceberg partition column) instead of the default
+        ``pmod(xxhash64(conv_id), n_buckets)``. Must be functionally
+        dependent on conv_id so verdicts stay conversation-aligned."""
         self.checks = checks
         self.n_buckets = n_buckets
         self.dims = dims or {}
         self.reference = reference
         self.baselines = baselines or {}
+        self.part_col = part_col
+
+    def pid_expr(self) -> F.Column:
+        if self.part_col:
+            return F.col(self.part_col).cast("int")
+        return part_id_expr(n_buckets=self.n_buckets)
 
     # ------------------------------------------------------------------ plan
 
@@ -82,7 +93,7 @@ class ValidationRunner:
         """One wide scan carrying a boolean flag column per row-expressible
         check (row predicates, referential joins, window ordering, text
         equality). Returns (flagged_df, [(check, flag_col)])."""
-        df = fact.withColumn("part_id", part_id_expr(n_buckets=self.n_buckets))
+        df = fact.withColumn("part_id", self.pid_expr())
         flags: list[tuple[Check, str]] = []
 
         for i, chk in enumerate(dsl.row_level(self.checks)):
@@ -221,18 +232,17 @@ class ValidationRunner:
         out = None
         for chk in dsl.of_type(self.checks, Unique):
             key = list(chk.columns)
+            src = fact.withColumn("__pid", self.pid_expr())
             if chk.salted:
                 # phase 1: partial counts keyed by input split (explicit salt)
-                partial = fact.groupBy(
-                    *key, F.spark_partition_id().alias("__salt")
+                partial = src.groupBy(
+                    "__pid", *key, F.spark_partition_id().alias("__salt")
                 ).agg(F.count(F.lit(1)).alias("__c"))
-                totals = partial.groupBy(*key).agg(F.sum("__c").alias("__n"))
+                totals = partial.groupBy("__pid", *key).agg(F.sum("__c").alias("__n"))
             else:
-                totals = fact.groupBy(*key).agg(F.count(F.lit(1)).alias("__n"))
+                totals = src.groupBy("__pid", *key).agg(F.count(F.lit(1)).alias("__n"))
             dupes = totals.filter(F.col("__n") > 1).select(
-                part_id_expr(n_buckets=self.n_buckets).alias("part_id")
-                if "conv_id" in key
-                else F.lit(None).cast("int").alias("part_id"),
+                F.col("__pid").alias("part_id"),
                 F.lit(chk.name).alias("check_id"),
                 (F.col("conv_id") if "conv_id" in key else F.lit(None)).cast("string").alias("conv_id"),
                 (F.col("turn_idx") if "turn_idx" in key else F.lit(None)).cast("int").alias("turn_idx"),
@@ -253,7 +263,7 @@ class ValidationRunner:
             violations = violations.unionByName(uniq)
 
         # per-partition row counts: narrow, column-pruned scan
-        parts = fact.select(part_id_expr(n_buckets=self.n_buckets).alias("part_id")).groupBy(
+        parts = fact.select(self.pid_expr().alias("part_id")).groupBy(
             "part_id"
         ).agg(F.count(F.lit(1)).alias("n_rows"))
 

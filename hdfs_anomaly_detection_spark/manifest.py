@@ -32,10 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdfs_anomaly_detection_spark.constraints.runner import (
-    ValidationRunner,
-    part_id_expr,
-)
+from hdfs_anomaly_detection_spark.constraints.runner import ValidationRunner
 
 MANIFEST_SCHEMA = (
     "run_id string, part_id int, status string, started_at timestamp, "
@@ -111,7 +108,7 @@ class ValidationJob:
         planned = [
             int(r["part_id"])
             for r in fact.select(
-                part_id_expr(n_buckets=self.runner.n_buckets).alias("part_id")
+                self.runner.pid_expr().alias("part_id")
             )
             .distinct()
             .collect()
@@ -127,7 +124,7 @@ class ValidationJob:
             }
 
         sub = fact.filter(
-            part_id_expr(n_buckets=self.runner.n_buckets).isin(pending)
+            self.runner.pid_expr().isin(pending)
         )
         res = self.runner.run(sub)
 

@@ -1,0 +1,562 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle.
+
+Each entry exercises one operator family from SURVEY.md §2 through the
+ENGINE's DataFrame code path, while the oracle re-states the semantics
+in dialect-common ANSI SQL for DuckDB. Column names/aliases match
+exactly on both sides (the driver sorts columns by name and hashes
+values). Floats are rounded IN BOTH dialects to dodge summation-order
+ULP noise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.constraints import (
+    InSet,
+    MonotonicOrder,
+    NotNull,
+    Range,
+    RefIntegrity,
+    Unique,
+    ValidationRunner,
+)
+from hdfs_anomaly_detection_spark.sources.transcripts_view import (
+    TRANSCRIPTS_CTE,
+    load_table,
+    load_transcripts,
+)
+from hdfs_anomaly_detection_spark.stats import column_stats, length_histogram
+
+TOOL_LIST = [f"tool_{i:02d}" for i in range(12)]
+_TOOL_IN = ", ".join(f"'{t}'" for t in TOOL_LIST)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _tools_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in TOOL_LIST], "tool string")
+
+
+def _viol_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "part_id", "check_id", "conv_id", "turn_idx", F.col("column").alias("col_name")
+    )
+
+
+# ===========================================================================
+# Validation-engine queries over the derived transcripts table
+# ===========================================================================
+
+@register(
+    "v_null_text_rows",
+    TRANSCRIPTS_CTE
+    + """
+SELECT part_id, 'not_null_text' AS check_id, conv_id, turn_idx, 'text' AS col_name
+FROM transcripts WHERE text IS NULL
+""",
+)
+def v_null_text_rows(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    res = ValidationRunner([NotNull("not_null_text", column="text")], part_col="part_id").run(t)
+    return _viol_cols(res.violations)
+
+
+@register(
+    "v_role_domain_rows",
+    TRANSCRIPTS_CTE
+    + """
+SELECT part_id, 'role_domain' AS check_id, conv_id, turn_idx, 'role' AS col_name
+FROM transcripts WHERE role IS NOT NULL AND role NOT IN ('user','assistant','tool')
+""",
+)
+def v_role_domain_rows(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    res = ValidationRunner(
+        [InSet("role_domain", column="role", values=("user", "assistant", "tool"))],
+        part_col="part_id",
+    ).run(t)
+    return _viol_cols(res.violations)
+
+
+@register(
+    "v_turn_range_rows",
+    TRANSCRIPTS_CTE
+    + """
+SELECT part_id, 'turn_idx_range' AS check_id, conv_id, turn_idx, 'turn_idx' AS col_name
+FROM transcripts WHERE turn_idx IS NOT NULL AND (turn_idx < 0 OR turn_idx > 100000)
+""",
+)
+def v_turn_range_rows(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    res = ValidationRunner(
+        [Range("turn_idx_range", column="turn_idx", min=0, max=100_000)],
+        part_col="part_id",
+    ).run(t)
+    return _viol_cols(res.violations)
+
+
+@register(
+    "v_unique_dup_keys",
+    TRANSCRIPTS_CTE
+    + """
+SELECT part_id, 'unique_turn' AS check_id, conv_id, turn_idx, 'conv_id,turn_idx' AS col_name
+FROM transcripts GROUP BY part_id, conv_id, turn_idx HAVING count(*) > 1
+""",
+)
+def v_unique_dup_keys(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    res = ValidationRunner(
+        [Unique("unique_turn", columns=("conv_id", "turn_idx"))], part_col="part_id"
+    ).run(t)
+    return _viol_cols(res.violations)
+
+
+@register(
+    "v_ref_tool_rows",
+    TRANSCRIPTS_CTE
+    + f"""
+SELECT part_id, 'ref_tool' AS check_id, conv_id, turn_idx, 'tool' AS col_name
+FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ({_TOOL_IN})
+""",
+)
+def v_ref_tool_rows(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    res = ValidationRunner(
+        [RefIntegrity("ref_tool", fk=("tool",), dim="tools", pk=("tool",), broadcast=True)],
+        part_col="part_id",
+        dims={"tools": _tools_dim(spark)},
+    ).run(t)
+    return _viol_cols(res.violations)
+
+
+@register(
+    "v_turn_order_rows",
+    TRANSCRIPTS_CTE
+    + """
+SELECT part_id, 'turn_order' AS check_id, conv_id, turn_idx, 'turn_idx' AS col_name
+FROM (
+  SELECT part_id, conv_id, turn_idx,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev
+  FROM transcripts
+) w
+WHERE (prev IS NULL AND turn_idx <> 0) OR (prev IS NOT NULL AND turn_idx <> prev + 1)
+""",
+)
+def v_turn_order_rows(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    res = ValidationRunner(
+        [MonotonicOrder("turn_order", partition_cols=("conv_id",), order_col="turn_idx")],
+        part_col="part_id",
+    ).run(t)
+    return _viol_cols(res.violations)
+
+
+_VERDICT_CHECK_NAMES = [
+    "not_null_text", "role_domain", "turn_idx_range",
+    "unique_turn", "ref_tool", "turn_order",
+]
+_VERDICT_VALUES = ", ".join(f"('{n}')" for n in _VERDICT_CHECK_NAMES)
+
+@register(
+    "v_verdicts_grid",
+    TRANSCRIPTS_CTE
+    + f"""
+, parts AS (SELECT part_id, count(*) AS n_rows FROM transcripts GROUP BY part_id),
+counts AS (
+  SELECT part_id, 'not_null_text' AS check_id, count(*) AS n_violations
+  FROM transcripts WHERE text IS NULL GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'role_domain', count(*) FROM transcripts
+  WHERE role IS NOT NULL AND role NOT IN ('user','assistant','tool') GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'turn_idx_range', count(*) FROM transcripts
+  WHERE turn_idx < 0 OR turn_idx > 100000 GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'unique_turn', count(*) FROM (
+    SELECT part_id FROM transcripts GROUP BY part_id, conv_id, turn_idx HAVING count(*) > 1
+  ) d GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'ref_tool', count(*) FROM transcripts
+  WHERE tool IS NOT NULL AND tool NOT IN ({_TOOL_IN}) GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'turn_order', count(*) FROM (
+    SELECT part_id, conv_id, turn_idx,
+           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev
+    FROM transcripts
+  ) w WHERE (prev IS NULL AND turn_idx <> 0) OR (prev IS NOT NULL AND turn_idx <> prev + 1)
+  GROUP BY part_id
+),
+grid AS (
+  SELECT p.part_id, p.n_rows, c.check_id
+  FROM parts p CROSS JOIN (VALUES {_VERDICT_VALUES}) AS c(check_id)
+)
+SELECT g.part_id, g.check_id, g.n_rows,
+       coalesce(x.n_violations, 0) AS n_violations,
+       coalesce(x.n_violations, 0) = 0 AS passed
+FROM grid g LEFT JOIN counts x ON g.part_id = x.part_id AND g.check_id = x.check_id
+""",
+)
+def v_verdicts_grid(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    checks = [
+        NotNull("not_null_text", column="text"),
+        InSet("role_domain", column="role", values=("user", "assistant", "tool")),
+        Range("turn_idx_range", column="turn_idx", min=0, max=100_000),
+        Unique("unique_turn", columns=("conv_id", "turn_idx")),
+        RefIntegrity("ref_tool", fk=("tool",), dim="tools", pk=("tool",), broadcast=True),
+        MonotonicOrder("turn_order", partition_cols=("conv_id",), order_col="turn_idx"),
+    ]
+    res = ValidationRunner(checks, part_col="part_id", dims={"tools": _tools_dim(spark)}).run(t)
+    return res.verdicts.select("part_id", "check_id", "n_rows", "n_violations", "passed")
+
+
+@register(
+    "v_column_stats",
+    TRANSCRIPTS_CTE
+    + """
+, n AS (SELECT count(*) AS n_rows FROM transcripts)
+SELECT 'text' AS column_name, 'n_null' AS stat,
+       cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM transcripts
+UNION ALL
+SELECT 'text', 'null_rate',
+       round(cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+FROM transcripts
+UNION ALL
+SELECT 'text', 'min_length', cast(min(length(text)) AS DOUBLE) FROM transcripts
+UNION ALL
+SELECT 'text', 'max_length', cast(max(length(text)) AS DOUBLE) FROM transcripts
+UNION ALL
+SELECT 'turn_idx', 'min', cast(min(turn_idx) AS DOUBLE) FROM transcripts
+UNION ALL
+SELECT 'turn_idx', 'max', cast(max(turn_idx) AS DOUBLE) FROM transcripts
+UNION ALL
+SELECT 'turn_idx', 'n_null', cast(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+FROM transcripts
+""",
+)
+def v_column_stats(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    stats = column_stats(t, columns=["text", "turn_idx"])
+    keep = {
+        ("text", "n_null"), ("text", "null_rate"),
+        ("text", "min_length"), ("text", "max_length"),
+        ("turn_idx", "min"), ("turn_idx", "max"), ("turn_idx", "n_null"),
+    }
+    cond = F.lit(False)
+    for c, s in keep:
+        cond = cond | ((F.col("column") == c) & (F.col("stat") == s))
+    return stats.filter(cond).select(
+        F.col("column").alias("column_name"),
+        "stat",
+        F.when(F.col("stat") == "null_rate", F.round(F.col("value"), 4))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+@register(
+    "v_length_histogram",
+    TRANSCRIPTS_CTE
+    + """
+SELECT cast(floor(length(text) / 10) * 10 AS BIGINT) AS bucket_lo, count(*) AS n
+FROM transcripts WHERE text IS NOT NULL
+GROUP BY 1
+""",
+)
+def v_length_histogram(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return length_histogram(t, "text", bin_width=10).select(
+        F.col("bucket_lo").cast("bigint").alias("bucket_lo"), "n"
+    )
+
+
+# ===========================================================================
+# Generic operator coverage over the driver's TPC-H-ish tables
+# (one per operator family in SURVEY.md §2.2-2.6)
+# ===========================================================================
+
+@register(
+    "q_time_filter_agg",
+    """
+SELECT count(*) AS n, round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events WHERE event_type = 'click'
+""",
+)
+def q_time_filter_agg(spark, sf_dir):
+    # grafana Q1 analogue: COUNT/AVG/MIN/MAX over a predicate
+    # (grafana/grafana_test_queries.sql:11-19,167-176)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "q_conditional_agg",
+    """
+SELECT l_linestatus,
+       count(*) AS n,
+       cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       round(cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS return_rate
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def q_conditional_agg(spark, sf_dir):
+    # SUM(CASE WHEN ...) violation-rate pattern (grafana_test_queries.sql:25-27,138-139)
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        returned.alias("n_returned"),
+        F.round(returned.cast("double") / F.count(F.lit(1)), 4).alias("return_rate"),
+    )
+
+
+@register(
+    "q_group_composite",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_group_composite(spark, sf_dir):
+    # confusion-matrix composite GROUP BY (grafana_test_queries.sql:60-69)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "q_time_bucket",
+    """
+SELECT cast(date_trunc('hour', ts) AS STRING) AS hour_ts, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events GROUP BY 1
+""",
+)
+def q_time_bucket(spark, sf_dir):
+    # hourly tumbling aggregation (grafana_test_queries.sql:100-110;
+    # anomaly_detection_service.py:898-909)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@register(
+    "q_histogram_value",
+    """
+SELECT round(value, 1) AS bucket, count(*) AS n
+FROM events WHERE value IS NOT NULL GROUP BY 1
+""",
+)
+def q_histogram_value(spark, sf_dir):
+    # score-histogram buckets (grafana_test_queries.sql:88-96,151-159)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.round("value", 1).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_count_distinct",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+""",
+)
+def q_count_distinct(spark, sf_dir):
+    # exact COUNT DISTINCT (grafana_test_queries.sql:198,331); HLL variant
+    # exercised in v_column_stats/approx internally
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "q_top_n",
+    """
+SELECT event_id, cast(ts AS STRING) AS ts_s, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 50
+""",
+)
+def q_top_n(spark, sf_dir):
+    # ORDER BY ... LIMIT recent-N (anomaly_detection_service.py:838-855)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select("event_id", F.col("ts").cast("string").alias("ts_s"), "event_type")
+    )
+
+
+@register(
+    "q_topk_per_group",
+    """
+SELECT c_nationkey, c_custkey, rk FROM (
+  SELECT c_nationkey, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) t WHERE rk <= 3
+""",
+)
+def q_topk_per_group(spark, sf_dir):
+    # top-k selection per group (train_line_level_ensemble_v2.py:792-795)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "rk")
+    )
+
+
+@register(
+    "q_join_enrich",
+    """
+SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_enrich(spark, sf_dir):
+    # broadcast-dim equi-join (hdfs_line_level_loader_v2.py:32,66 dict-map join)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q_anti_join",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q_anti_join(spark, sf_dir):
+    # left-anti = dangling-FK semantics (hdfs_line_level_loader_v2.py:69-72)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_semi_join",
+    """
+SELECT p_brand, count(*) AS n FROM part
+WHERE p_size > 25 AND p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand
+""",
+)
+def q_semi_join(spark, sf_dir):
+    # EXISTS / cache-probe semantics (anomaly_detection_service.py:273-295)
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.filter(F.col("p_size") > 25)
+        .join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_union_alerts",
+    """
+SELECT 'high_value' AS alert, count(*) AS n FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT 'urgent' AS alert, count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def q_union_alerts(spark, sf_dir):
+    # UNION ALL alert-row stacking (grafana_test_queries.sql:250-304)
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 300000).agg(
+        F.lit("high_value").alias("alert"), F.count(F.lit(1)).alias("n")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.lit("urgent").alias("alert"), F.count(F.lit(1)).alias("n")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q_percentile",
+    """
+SELECT l_returnflag,
+       round(cast(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       round(cast(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_percentile(spark, sf_dir):
+    # exact percentile thresholds (hdfs_line_level_loader_v2.py:146-147)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+@register(
+    "q_case_classify",
+    """
+SELECT CASE WHEN value >= 99.5 THEN 'CRITICAL'
+            WHEN value >= 98.0 THEN 'WARNING'
+            ELSE 'OK' END AS status,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_case_classify(spark, sf_dir):
+    # OK/WARNING/CRITICAL CASE verdicts (grafana_test_queries.sql:34-43,252-304)
+    ev = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("value") >= 99.5, "CRITICAL")
+        .when(F.col("value") >= 98.0, "WARNING")
+        .otherwise("OK")
+    )
+    return ev.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_rank_suppliers",
+    """
+SELECT s_suppkey, s_name,
+       rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rk
+FROM supplier
+""",
+)
+def q_rank_suppliers(spark, sf_dir):
+    # model-ranking table (train_line_level_ensemble_v2.py:536-546)
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select("s_suppkey", "s_name", F.rank().over(w).alias("rk"))

@@ -1,0 +1,6 @@
+from hdfs_anomaly_detection_spark.sources.transcripts_view import (  # noqa: F401
+    TRANSCRIPTS_CTE,
+    load_table,
+    load_transcripts,
+    register_views,
+)
