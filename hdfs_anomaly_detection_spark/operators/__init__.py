@@ -1,0 +1,15 @@
+from hdfs_anomaly_detection_spark.operators.dedup import (  # noqa: F401
+    exact_dup_groups,
+    dedup_keep_first,
+    minhash_signatures,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from hdfs_anomaly_detection_spark.operators.similarity import (  # noqa: F401
+    cosine_sim_expr,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)

@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash (bit-majority fingerprint + chunk blocking) and n-gram
+Jaccard verification. Reference analogue: md5-content-hash dedup /
+skip-if-seen (``anomaly-detection-service/anomaly_detection_service.py:
+269-271,668-678``) and the ≥0.98-similarity embedding-reuse path
+(``:440-454``).
+
+Scale notes:
+* exact + minhash + jaccard are 100 % Catalyst expressions (xxhash64 /
+  transform / array_min / explode) — whole-stage codegen, no Python;
+* LSH banding turns the O(n²) pair space into per-bucket joins; band
+  buckets are hashed keys, so the candidate join is a plain shuffle
+  equi-join that AQE can skew-split;
+* simhash needs per-token bit arithmetic that would explode the
+  expression tree 64× — it is the one deliberate Arrow/pandas-UDF hop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, min_id)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text hash (deterministic winner)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------------------- shingles
+
+def _word_shingles(text_col: str, k: int) -> Column:
+    """Distinct k-word shingles as an array<string> (Catalyst-native)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+# ------------------------------------------------------------- minhash/LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). All JVM-side."""
+    shingles = _word_shingles(text_col, shingle_k)
+
+    def hashed(seed: int):
+        # close over the seed — a two-arg lambda would make pyspark bind
+        # the array INDEX to the second variable, collapsing all seeds
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__sh"), hashed(i))) for i in range(n_hashes)]
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), shingles.alias("__sh"))
+        .select("id", sig.alias("sig"))
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    Pairs colliding in ≥1 band are candidates; if ``verify_threshold``
+    is set they are verified with the estimated Jaccard = fraction of
+    matching minhashes (an unbiased estimator, avoids re-reading text).
+    Returns (id_a, id_b, est_jaccard).
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+
+    band_hash = F.xxhash64(
+        F.col("band"), F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+    )
+    banded = sigs.select(
+        "id", "sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    ).select("id", "sig", "band", band_hash.alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(n_hashes))
+    ).alias("est_jaccard")
+    out = pairs.select("id_a", "id_b", est)
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("source",),
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over pairs within a blocking key
+    (avoids the full O(n²) cross product; the blocked self-join is a
+    shuffle equi-join). Returns (id_a, id_b, jaccard)."""
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*block_cols, F.col(id_col).alias("id"), _word_shingles(text_col, shingle_k).alias("sh"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = (inter.cast("double") / union).alias("jaccard")
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched; the one
+    pandas-UDF hop in the dedup family — 64-bit-per-token bit votes
+    would bloat a Catalyst expression tree 64×)."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if text is None:
+            out[row] = 0
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in str(text).lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64)
+            acc += np.where(bits == 1, 1, -1)
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= 1 << i
+        out[row] = np.int64(np.uint64(val).astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k, blocked on 16-bit
+    chunks (pigeonhole: any pair within hamming ≤ 3 shares ≥1 of 4
+    chunks). Returns (id_a, id_b, hamming)."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("ci"),
+                               F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+                      for i in range(4)])
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham)
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

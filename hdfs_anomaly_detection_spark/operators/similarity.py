@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and a random-
+hyperplane LSH-bucketed variant as the scale path (probe only matching
+buckets instead of the full table). Reference analogue: Qdrant kNN
+similarity voting at k=1/10/20 with thresholds
+(``anomaly-detection-service/anomaly_detection_service.py:316-438``)
+and the point-lookup cosine compare
+(``helper-scripts/analyze_embeddings.py:115-159``).
+
+The dot product / norms are `F.aggregate` / `F.zip_with` Catalyst
+expressions — no Python in the scoring path. Hyperplanes are a small
+seeded NumPy matrix shipped as literals (broadcast-sized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_sim_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine vs one query vector.
+    Deterministic tie-break on id. Returns (vec_id, sim, rk)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim_expr(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = emb.select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i), packed
+    into a bigint. Planes are literal arrays (tiny, constant-folded)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``max_probe_hamming`` bits of the query's bucket (multi-probe).
+    At scale the signature is a partition/bucket key, so the probe is
+    partition-pruned instead of a full scan."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=float)
+    for i, p in enumerate(planes):
+        if float(qv @ p) >= 0:
+            qsig |= 1 << i
+    tagged = emb.withColumn("__sig", lsh_signature_expr(vec_col, planes))
+    probe = tagged.filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
+    )
+    return cosine_topk(probe, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: only
+    pairs sharing the exact signature bucket are scored (the reference's
+    ≥0.98 embedding-reuse check, ``anomaly_detection_service.py:440-454``).
+    Returns (id_a, id_b, sim)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    tagged = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_signature_expr(vec_col, planes).alias("sig"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    sim = F.round(cosine_sim_expr(F.col("a.v"), F.col("b.v")), 6).alias("sim")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim)
+        .filter(F.col("sim") >= threshold)
+    )

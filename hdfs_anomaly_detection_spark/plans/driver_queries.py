@@ -547,6 +547,235 @@ def q_case_classify(spark, sf_dir):
     return ev.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
 
 
+# ===========================================================================
+# Training-pipeline operators: dedup / similarity / text analysis
+# (documents + embeddings tables; duplicates injected dialect-commonly)
+# ===========================================================================
+
+# dialect-common documents-with-duplicates derivation (exact + near dups)
+DOCS_CTE = """
+WITH docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra tail' AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+_EN_STOP = "'the','and','of','to','in','is','that','it','was','for'"
+_ES_STOP = "'el','la','de','que','y','en','los','se','del','las'"
+_DE_STOP = "'der','die','und','das','ist','nicht','von','mit','den','ein'"
+_FR_STOP = "'le','la','les','de','et','est','que','des','une','dans'"
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dup1 = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    dup2 = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail")))
+    )
+    return d.unionByName(dup1).unionByName(dup2)
+
+
+@register(
+    "d_exact_dup_groups",
+    DOCS_CTE
+    + """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_id
+FROM docs WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def d_exact_dup_groups(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+@register(
+    "d_dedup_keep_first",
+    DOCS_CTE
+    + """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM docs WHERE text IS NOT NULL
+) t WHERE rn = 1
+""",
+)
+def d_dedup_keep_first(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import dedup_keep_first
+
+    return dedup_keep_first(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    DOCS_CTE
+    + r"""
+, tok AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM docs WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in generate_series(1, len(w) - 2)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(a.s || b.s)) >= 0.6
+""",
+)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), block_cols=("source",), threshold=0.6
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("d_minhash_lsh_pairs")  # rows-only: xxhash64 minhashes aren't in DuckDB
+def d_minhash_lsh_pairs(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import minhash_lsh_candidate_pairs
+
+    return minhash_lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), verify_threshold=0.6
+    )
+
+
+@register("d_simhash_pairs")  # rows-only: pandas-UDF md5 simhash isn't in DuckDB
+def d_simhash_pairs(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "s_cosine_topk",
+    """
+WITH q AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(cast(embedding AS DOUBLE[]), qv), 4) AS sim
+  FROM embeddings, q
+)
+SELECT vec_id, sim, rk FROM (
+  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk FROM scored
+) t WHERE rk <= 10
+""",
+)
+def s_cosine_topk(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@register("s_lsh_topk")  # rows-only: hyperplane signatures aren't in DuckDB
+def s_lsh_topk(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.operators import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucketed_topk(emb, [float(x) for x in qvec], k=10, n_planes=6)
+
+
+@register(
+    "t_token_count",
+    r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '[\s[:punct:]]+'),
+                       x -> x <> '')) AS n_tokens
+FROM documents
+""",
+)
+def t_token_count(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@register(
+    "t_lang_id",
+    rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[\s[:punct:]]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    cast(len(list_filter(toks, x -> list_contains([{_EN_STOP}], x))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+    cast(len(list_filter(toks, x -> list_contains([{_ES_STOP}], x))) AS DOUBLE) / greatest(len(toks), 1) AS s_es,
+    cast(len(list_filter(toks, x -> list_contains([{_DE_STOP}], x))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+    cast(len(list_filter(toks, x -> list_contains([{_FR_STOP}], x))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM scored
+""",
+)
+def t_lang_id(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "t_quality_score",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '[\s[:punct:]]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    cast(length(text) AS DOUBLE) AS n_chars,
+    cast(len(toks) AS DOUBLE) AS n_tok,
+    cast(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+    cast(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+    cast(len(list_filter(toks, x -> list_contains([{_EN_STOP}], x))) AS DOUBLE) AS stop_hits
+  FROM tok
+)
+SELECT doc_id,
+  round(0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN 1.0 ELSE 0.3 END)
+      + 0.25 * (1.0 - least(punct / greatest(n_chars, 1.0) * 4.0, 1.0))
+      + 0.2 * (1.0 - least(digits / greatest(n_chars, 1.0) * 3.0, 1.0))
+      + 0.25 * least(stop_hits / greatest(n_tok, 1.0) * 5.0, 1.0), 4) AS quality
+FROM m
+""",
+)
+def t_quality_score(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
 @register(
     "q_rank_suppliers",
     """

@@ -1,0 +1,68 @@
+"""Similarity search vs a NumPy brute-force oracle on the embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hdfs_anomaly_detection_spark.operators import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = df.toPandas()
+    mat = np.vstack(pdf["embedding"].map(np.asarray))
+    return df, pdf, mat
+
+
+def _np_topk(mat, ids, q, k):
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(sims, 4), -np.asarray(ids)), reverse=True)
+    return [(-i, s) for s, i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, pdf, mat = emb
+    q = mat[0].tolist()
+    got = cosine_topk(df, q, k=10).toPandas().sort_values("rk")
+    expected = _np_topk(mat, pdf["vec_id"].tolist(), np.asarray(q), 10)
+    assert list(got["vec_id"]) == [i for i, _ in expected]
+    for g, (_, s) in zip(got["sim"], expected):
+        assert g == pytest.approx(s, abs=1e-4)
+    # self-similarity is rank 1 with sim 1.0
+    assert got.iloc[0]["vec_id"] == pdf["vec_id"].iloc[0]
+    assert got.iloc[0]["sim"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_is_subset_with_high_recall(emb):
+    df, pdf, mat = emb
+    q = mat[3].tolist()
+    exact = {i for i, _ in _np_topk(mat, pdf["vec_id"].tolist(), np.asarray(q), 10)}
+    approx = lsh_bucketed_topk(df, q, k=10, n_planes=6, max_probe_hamming=2).toPandas()
+    got = set(approx["vec_id"])
+    # multi-probe LSH at 6 planes/hamming≤2 probes most buckets: decent recall
+    assert len(got & exact) >= 5
+    # the query's own vector always lands in its own bucket
+    assert pdf["vec_id"].iloc[3] in got
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    df, pdf, mat = emb
+    from pyspark.sql import functions as F
+
+    dup = df.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    both = df.unionByName(dup)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    expected = {(int(v), int(v) + 10000) for v in pdf["vec_id"] if v % 17 == 0}
+    assert expected <= got
+    assert (pairs["sim"] >= 0.999).all()
