@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hdfs_anomaly_detection_spark.constraints import (  # noqa: E402
+    TextEquals,
     ValidationRunner,
     default_transcript_checks,
 )
@@ -31,6 +32,7 @@ from hdfs_anomaly_detection_spark.fixtures import (  # noqa: E402
     CORRUPTED,
     FixtureConfig,
     build_fixture,
+    clean_transcripts,
 )
 from hdfs_anomaly_detection_spark.session import get_spark  # noqa: E402
 
@@ -62,12 +64,15 @@ def bench_fixture_paths(spark):
         dangling_tool_rate=CORRUPTED.dangling_tool_rate,
     )
     tag = f"c{N_CONVS}"
-    paths = {n: f"{CACHE}/{tag}/{n}" for n in ("fact", "conversations", "tools")}
+    paths = {n: f"{CACHE}/{tag}/{n}" for n in ("fact", "conversations", "tools", "ref")}
     if not os.path.exists(f"{CACHE}/{tag}/_DONE"):
         fx = build_fixture(spark, cfg)
         fx.fact.repartition(CPUS * 2).write.mode("overwrite").parquet(paths["fact"])
         fx.conversations.write.mode("overwrite").parquet(paths["conversations"])
         fx.tools.write.mode("overwrite").parquet(paths["tools"])
+        clean_transcripts(spark, cfg).repartition(CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(paths["ref"])
         open(f"{CACHE}/{tag}/_DONE", "w").write("ok")
     return paths
 
@@ -75,12 +80,13 @@ def bench_fixture_paths(spark):
 def run_validation(spark, paths) -> tuple[float, int, int]:
     fact = spark.read.parquet(paths["fact"])
     runner = ValidationRunner(
-        default_transcript_checks(),
+        default_transcript_checks() + [TextEquals("text_equals")],
         n_buckets=max(32, CPUS),
         dims={
             "conversations": spark.read.parquet(paths["conversations"]),
             "tools": spark.read.parquet(paths["tools"]),
         },
+        reference=spark.read.parquet(paths["ref"]),
     )
     t0 = time.time()
     res = runner.run(fact)

@@ -1,12 +1,14 @@
 from hdfs_anomaly_detection_spark.constraints.dsl import (  # noqa: F401
     Check,
     Drift,
+    Freshness,
     InSet,
     MonotonicOrder,
     NotNull,
     Range,
     RefIntegrity,
     Regex,
+    SchemaConformance,
     TextEquals,
     Unique,
     default_transcript_checks,

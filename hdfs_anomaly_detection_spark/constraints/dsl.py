@@ -194,6 +194,36 @@ class Drift(Check):
     threshold: float = 0.15
 
 
+@dataclass(frozen=True)
+class SchemaConformance(Check):
+    """Expected physical schema (DDL string, e.g. "conv_id string, ...").
+    Dataset-level: missing columns, extra columns and type mismatches
+    become violations with a global (-1) partition verdict.
+
+    Reference analogue: the dashboard datasource's required-tables/
+    columns set-difference validation
+    (``grafana/test_sqlite_datasource.py:58-77``) and the silent
+    from_json-null schema handling our engine makes explicit
+    (``cloud-deployment/spark_job.py:92-103``)."""
+
+    expected_ddl: str = ""
+    allow_extra: bool = False
+
+
+@dataclass(frozen=True)
+class Freshness(Check):
+    """Per-partition max(ts_col) must be within ``max_age_seconds`` of
+    ``as_of`` (epoch seconds). Verdict-only; statistic = staleness sec.
+
+    Reference analogue: the data-freshness dashboard query
+    (``grafana/grafana_test_queries.sql:313-322`` MAX(created_at) + lag
+    CASE buckets)."""
+
+    ts_col: str = "ts"
+    max_age_seconds: int = 86_400
+    as_of: int | None = None  # default: now at run time
+
+
 def default_transcript_checks(dims: bool = True) -> list[Check]:
     """The standard constraint suite for the transcripts table."""
     checks: list[Check] = [

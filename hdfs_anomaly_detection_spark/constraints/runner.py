@@ -35,8 +35,10 @@ from hdfs_anomaly_detection_spark.constraints import dsl
 from hdfs_anomaly_detection_spark.constraints.dsl import (
     Check,
     Drift,
+    Freshness,
     MonotonicOrder,
     RefIntegrity,
+    SchemaConformance,
     TextEquals,
     Unique,
 )
@@ -53,6 +55,19 @@ VERDICTS_SCHEMA = (
 
 def part_id_expr(conv_col: str = "conv_id", n_buckets: int = 32) -> F.Column:
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+def reference_hashes(ref_df: DataFrame, chk) -> DataFrame:
+    """Precompute the reference side of a TextEquals check as
+    (keys..., canon_hash). The reference corpus is static across runs —
+    canonicalizing it once and persisting the hashes halves the regex
+    work of every validation run (pass the result as
+    ``ValidationRunner(reference=...)``)."""
+    src = F.col(chk.column)
+    h = canonicalize(src) if chk.canonicalize else src
+    return ref_df.select(
+        *chk.keys, F.when(src.isNotNull(), F.xxhash64(h)).alias("canon_hash")
+    )
 
 
 @dataclass
@@ -90,18 +105,61 @@ class ValidationRunner:
     # ------------------------------------------------------------------ plan
 
     def _flagged(self, fact: DataFrame) -> tuple[DataFrame, list[tuple[Check, str]]]:
-        """One wide scan carrying a boolean flag column per row-expressible
-        check (row predicates, referential joins, window ordering, text
-        equality). Returns (flagged_df, [(check, flag_col)])."""
-        df = fact.withColumn("part_id", self.pid_expr())
+        """Two-stage flagging plan, shuffle-volume-aware:
+
+        Stage A (map-only, pre-shuffle): evaluate every row-level
+        predicate against the full row and materialize (flag, sparse
+        detail string) pairs, plus the canonical-text HASH for text
+        equality — then PROJECT to a narrow frame (keys, ts, fk columns,
+        flags, details). Wide payload columns (text) never enter a
+        shuffle: at 10^12 turns the window/join exchanges move ~50 B/row
+        instead of the full transcript text.
+
+        Stage B: referential joins + ordering windows over the narrow
+        frame only.
+
+        Returns (flagged_df, [(check, flag_col)]); precomputed detail
+        columns ride along as ``<flag_col>_d``.
+        """
+        row_checks = dsl.row_level(self.checks)
+        ri_checks = dsl.of_type(self.checks, RefIntegrity)
+        mono_checks = dsl.of_type(self.checks, MonotonicOrder)
+        te_checks = dsl.of_type(self.checks, TextEquals) if self.reference is not None else []
+
+        fact_cols = set(fact.columns)
+        extra: set[str] = set()
+        for chk in mono_checks:
+            extra |= set(chk.partition_cols) | set(chk.tiebreak) | {chk.order_col}
+        for chk in ri_checks:
+            extra |= set(chk.fk)
+        for chk in te_checks:
+            extra |= set(chk.keys)
+        if "ts" in fact_cols:
+            extra.add("ts")  # streaming watermark / freshness consumers
+        extra -= {"conv_id", "turn_idx"}
+
+        select_cols = [
+            self.pid_expr().alias("part_id"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            *[F.col(c) for c in sorted(extra & fact_cols)],
+        ]
         flags: list[tuple[Check, str]] = []
-
-        for i, chk in enumerate(dsl.row_level(self.checks)):
+        for i, chk in enumerate(row_checks):
             col = f"__v{i}"
-            df = df.withColumn(col, F.coalesce(chk.violation_expr(), F.lit(False)))
+            pred = F.coalesce(chk.violation_expr(), F.lit(False))
+            select_cols.append(pred.alias(col))
+            select_cols.append(F.when(pred, chk.detail_expr()).alias(f"{col}_d"))
             flags.append((chk, col))
+        for t, chk in enumerate(te_checks):
+            src = F.col(chk.column)
+            lhs = canonicalize(src) if chk.canonicalize else src
+            select_cols.append(
+                F.when(src.isNotNull(), F.xxhash64(lhs)).alias(f"__te{t}_h")
+            )
+        df = fact.select(*select_cols)  # ← the narrow frame
 
-        for j, chk in enumerate(dsl.of_type(self.checks, RefIntegrity)):
+        for j, chk in enumerate(ri_checks):
             col = f"__r{j}"
             dim = self.dims[chk.dim]
             pk = chk.pk or chk.fk
@@ -127,7 +185,7 @@ class ValidationRunner:
             )
             flags.append((chk, col))
 
-        for m, chk in enumerate(dsl.of_type(self.checks, MonotonicOrder)):
+        for m, chk in enumerate(mono_checks):
             col = f"__w{m}"
             w = Window.partitionBy(*chk.partition_cols).orderBy(
                 chk.order_col, *chk.tiebreak
@@ -146,28 +204,36 @@ class ValidationRunner:
             ).withColumn(f"{col}_prev", prev)
             flags.append((chk, col))
 
-        for t, chk in enumerate(dsl.of_type(self.checks, TextEquals)):
-            if self.reference is None:
-                continue
+        for t, chk in enumerate(te_checks):
+            # compare canonical-text xxhash64 (computed pre-shuffle on both
+            # sides) instead of shuffling megabyte text payloads; a hash
+            # collision masking a true mismatch has probability ~2^-64
             col = f"__t{t}"
-            ref_text = f"__ref{t}_text"
-            ref = self.reference.select(
-                *[F.col(k).alias(f"__ref{t}_{k}") for k in chk.keys],
-                F.col(chk.column).alias(ref_text),
-            ).dropDuplicates([f"__ref{t}_{k}" for k in chk.keys])
+            ref_hash = f"__ref{t}_h"
+            if "canon_hash" in self.reference.columns and chk.column not in self.reference.columns:
+                # reference side pre-hashed once via reference_hashes()
+                ref = self.reference.select(
+                    *[F.col(k).alias(f"__ref{t}_{k}") for k in chk.keys],
+                    F.col("canon_hash").alias(ref_hash),
+                ).dropDuplicates([f"__ref{t}_{k}" for k in chk.keys])
+            else:
+                src = F.col(chk.column)
+                rhs = canonicalize(src) if chk.canonicalize else src
+                ref = self.reference.select(
+                    *[F.col(k).alias(f"__ref{t}_{k}") for k in chk.keys],
+                    F.when(src.isNotNull(), F.xxhash64(rhs)).alias(ref_hash),
+                ).dropDuplicates([f"__ref{t}_{k}" for k in chk.keys])
             cond = None
             for k in chk.keys:
                 c = df[k].eqNullSafe(ref[f"__ref{t}_{k}"])
                 cond = c if cond is None else cond & c
             df = df.join(ref, cond, "left")
-            lhs = canonicalize(F.col(chk.column)) if chk.canonicalize else F.col(chk.column)
-            rhs = canonicalize(F.col(ref_text)) if chk.canonicalize else F.col(ref_text)
             df = df.withColumn(
                 col,
-                F.col(ref_text).isNotNull()
-                & F.col(chk.column).isNotNull()
-                & (lhs != rhs),
-            ).drop(*[f"__ref{t}_{k}" for k in chk.keys], ref_text)
+                F.col(ref_hash).isNotNull()
+                & F.col(f"__te{t}_h").isNotNull()
+                & (F.col(f"__te{t}_h") != F.col(ref_hash)),
+            ).drop(*[f"__ref{t}_{k}" for k in chk.keys], ref_hash)
             flags.append((chk, col))
 
         return df, flags
@@ -186,7 +252,8 @@ class ValidationRunner:
             )
         if isinstance(chk, TextEquals):
             return F.lit("canonical text differs from reference")
-        return chk.detail_expr()
+        # row-level checks: detail was materialized pre-shuffle (sparse)
+        return F.coalesce(F.col(f"{flag_col}_d"), F.lit(""))
 
     def _column_of(self, chk: Check) -> str:
         if isinstance(chk, RefIntegrity):
@@ -254,20 +321,33 @@ class ValidationRunner:
 
     # ------------------------------------------------------------------ run
 
-    def run(self, fact: DataFrame) -> ValidationResult:
+    def run(self, fact: DataFrame, persist: bool = True) -> ValidationResult:
+        """``persist=True`` caches the (small) violations frame so the
+        expensive flagged scan (joins + windows over the full input)
+        executes once even though both the violations output and the
+        verdict counts consume it. Violations are orders of magnitude
+        smaller than the input; MEMORY_AND_DISK spills if not."""
         spark = fact.sparkSession
         flagged, flags = self._flagged(fact)
         violations = self._row_violations(flagged, flags)
         uniq = self._unique_violations(fact)
         if uniq is not None:
             violations = violations.unionByName(uniq)
+        if persist:
+            from pyspark import StorageLevel
+
+            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
 
         # per-partition row counts: narrow, column-pruned scan
         parts = fact.select(self.pid_expr().alias("part_id")).groupBy(
             "part_id"
         ).agg(F.count(F.lit(1)).alias("n_rows"))
 
-        count_checks = [c for c in self.checks if not isinstance(c, Drift)]
+        count_checks = [
+            c
+            for c in self.checks
+            if not isinstance(c, (Drift, SchemaConformance, Freshness))
+        ]
         grid = parts.crossJoin(
             F.broadcast(
                 spark.createDataFrame(
@@ -294,6 +374,48 @@ class ValidationRunner:
             )
         )
 
+        # dataset-level schema conformance: global -1 partition verdict
+        for chk in dsl.of_type(self.checks, SchemaConformance):
+            diffs = self._schema_diffs(spark, fact, chk)
+            if diffs:
+                violations = violations.unionByName(
+                    spark.createDataFrame(
+                        [(-1, chk.name, None, None, c, d) for c, d in diffs],
+                        VIOLATIONS_SCHEMA,
+                    )
+                )
+            verdicts = verdicts.unionByName(
+                spark.createDataFrame(
+                    [(-1, chk.name, 0, len(diffs), None, len(diffs) == 0)],
+                    VERDICTS_SCHEMA,
+                )
+            )
+
+        # per-partition freshness verdicts (tiny max-ts aggregate)
+        fresh_checks = dsl.of_type(self.checks, Freshness)
+        if fresh_checks:
+            import time as _time
+
+            pid = self.pid_expr().alias("part_id")
+            for chk in fresh_checks:
+                as_of = chk.as_of if chk.as_of is not None else int(_time.time())
+                lag = (F.lit(as_of) - F.unix_timestamp(F.max(F.col(chk.ts_col)))).cast(
+                    "double"
+                )
+                fv = (
+                    fact.groupBy(pid)
+                    .agg(lag.alias("statistic"))
+                    .select(
+                        "part_id",
+                        F.lit(chk.name).alias("check_id"),
+                        F.lit(None).cast("bigint").alias("n_rows"),
+                        F.lit(0).cast("bigint").alias("n_violations"),
+                        "statistic",
+                        (F.col("statistic") <= chk.max_age_seconds).alias("passed"),
+                    )
+                )
+                verdicts = verdicts.unionByName(fv)
+
         drift_checks = dsl.of_type(self.checks, Drift)
         if drift_checks and self.baselines:
             from hdfs_anomaly_detection_spark.sketch.drift import drift_verdicts
@@ -304,3 +426,27 @@ class ValidationRunner:
             verdicts = verdicts.unionByName(dv)
 
         return ValidationResult(violations=violations, verdicts=verdicts)
+
+    @staticmethod
+    def _schema_diffs(
+        spark: SparkSession, fact: DataFrame, chk: SchemaConformance
+    ) -> list[tuple[str, str]]:
+        """(column, detail) discrepancies vs the expected DDL schema."""
+        from pyspark.sql.types import StructType
+
+        expected = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(chk.expected_ddl).fields
+        }
+        actual = {f.name: f.dataType.simpleString() for f in fact.schema.fields}
+        diffs: list[tuple[str, str]] = []
+        for name, dt in expected.items():
+            if name not in actual:
+                diffs.append((name, f"missing column (expected {dt})"))
+            elif actual[name] != dt:
+                diffs.append((name, f"type mismatch: expected {dt}, got {actual[name]}"))
+        if not chk.allow_extra:
+            for name in actual:
+                if name not in expected:
+                    diffs.append((name, f"unexpected column ({actual[name]})"))
+        return diffs

@@ -547,6 +547,49 @@ def q_case_classify(spark, sf_dir):
     return ev.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "v_text_equals_rows",
+    TRANSCRIPTS_CTE
+    + """
+SELECT t.part_id, 'text_equals' AS check_id, t.conv_id, t.turn_idx, 'text' AS col_name
+FROM transcripts t
+JOIN (SELECT conv_id, turn_idx, text FROM __clean) c
+  ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+WHERE t.text IS NOT NULL AND c.text IS NOT NULL AND t.text <> c.text
+""",
+)
+def v_text_equals_rows(spark, sf_dir):
+    # per-turn text equality vs the reference copy (the north-star per-row
+    # invariant); exact-equality variant so the oracle is dialect-common
+    from hdfs_anomaly_detection_spark.constraints import TextEquals
+
+    register_views_sql = TRANSCRIPTS_CTE + "SELECT conv_id, turn_idx, text FROM __clean"
+    t = load_transcripts(spark, sf_dir)
+    ref = spark.sql(register_views_sql)
+    res = ValidationRunner(
+        [TextEquals("text_equals", canonicalize=False)],
+        part_col="part_id",
+        reference=ref,
+    ).run(t)
+    return _viol_cols(res.violations)
+
+
+@register("v_drift_text_length")  # rows-only: t-digest KS isn't SQL-expressible
+def v_drift_text_length(spark, sf_dir):
+    from hdfs_anomaly_detection_spark.constraints import Drift
+    from hdfs_anomaly_detection_spark.sketch.drift import compute_baselines
+
+    t = load_transcripts(spark, sf_dir)
+    clean = spark.sql(TRANSCRIPTS_CTE + "SELECT * FROM __clean")
+    baselines = compute_baselines(clean, ["text_length"], n_buckets=8)
+    res = ValidationRunner(
+        [Drift("drift_text_length", metric="text_length", method="ks", threshold=0.2)],
+        baselines=baselines,
+        n_buckets=8,
+    ).run(t)
+    return res.verdicts.select("part_id", "check_id", "passed")
+
+
 # ===========================================================================
 # Training-pipeline operators: dedup / similarity / text analysis
 # (documents + embeddings tables; duplicates injected dialect-commonly)

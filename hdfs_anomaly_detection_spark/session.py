@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # ParallelGC beats the G1 default ~1.4x at 32 threads on the
+        # allocation-heavy regex canonicalization path (measured: 48.8s
+        # G1 vs 34.4s ParallelGC for 36M-row canonicalize+hash)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

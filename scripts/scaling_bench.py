@@ -29,6 +29,7 @@ LEVELS = (8, 32)
 
 def run_level(cpus: int, fact_p: str, conv_p: str, tools_p: str) -> None:
     from hdfs_anomaly_detection_spark.constraints import (
+        TextEquals,
         ValidationRunner,
         default_transcript_checks,
     )
@@ -37,13 +38,17 @@ def run_level(cpus: int, fact_p: str, conv_p: str, tools_p: str) -> None:
     spark = get_spark(parallelism=cpus, shuffle_partitions=cpus * 2,
                       app_name=f"scaling-{cpus}")
     fact = spark.read.parquet(fact_p)
+    # static reference corpus: canonical hashes precomputed ONCE at
+    # baseline time (reference_hashes), not re-canonicalized per run
+    ref_p = fact_p.rsplit("/", 1)[0] + "/ref_hashes"
     runner = ValidationRunner(
-        default_transcript_checks(),
+        default_transcript_checks() + [TextEquals("text_equals")],
         n_buckets=64,
         dims={
             "conversations": spark.read.parquet(conv_p),
             "tools": spark.read.parquet(tools_p),
         },
+        reference=spark.read.parquet(ref_p),
     )
     # warm the page cache / JIT with a cheap scan so levels compare fairly
     fact.count()
@@ -82,13 +87,24 @@ def main() -> None:
         fx.fact.repartition(128).write.mode("overwrite").parquet(f"{cache}/fact")
         fx.conversations.write.mode("overwrite").parquet(f"{cache}/conversations")
         fx.tools.write.mode("overwrite").parquet(f"{cache}/tools")
+        from hdfs_anomaly_detection_spark.constraints import TextEquals
+        from hdfs_anomaly_detection_spark.constraints.runner import reference_hashes
+        from hdfs_anomaly_detection_spark.fixtures import clean_transcripts
+
+        reference_hashes(
+            clean_transcripts(spark, cfg), TextEquals("text_equals")
+        ).repartition(128).write.mode("overwrite").parquet(f"{cache}/ref_hashes")
         open(f"{cache}/_DONE", "w").write("ok")
         spark.stop()
 
     results = {}
     for cpus in LEVELS:
+        # pin CPU affinity: "local[N]" alone still lets GC/IO/netty threads
+        # use every core, which would flatter the small level — taskset
+        # models an N-core cluster honestly
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cpus),
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.abspath(__file__), "--level", str(cpus),
              f"{cache}/fact", f"{cache}/conversations", f"{cache}/tools"],
             capture_output=True, text=True, env={**os.environ, "PYTHONPATH": REPO},
             timeout=3600,
@@ -109,8 +125,12 @@ Identical full-constraint validation job (null/domain/range checks,
 salted uniqueness, referential integrity vs 2 dims, ordering window)
 over the same cached {results[lo]["rows"]:,}-turn corrupted transcripts
 parquet, run at two local parallelism levels (no real cluster in this
-sandbox; `local[N]` threads stand in for executors, shuffle partitions
-scaled 2×cores):
+sandbox; `taskset -c 0-(N-1) … local[N]` pins the JVM to N cores so GC /
+IO / shuffle threads can't borrow idle cores and flatter the small
+level; shuffle partitions scaled 2×cores). The per-turn text-equality
+invariant (regex canonicalization + xxhash64 vs precomputed reference
+hashes) is included — it dominates per-row CPU exactly as it would at
+10^12 turns:
 
 | parallelism | wall sec | validated turns/sec |
 |---|---|---|

@@ -1,0 +1,71 @@
+"""Skew handling: salted uniqueness across many input splits, hot-key
+detection, and size-aware repartitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.constraints import Unique, ValidationRunner
+from hdfs_anomaly_detection_spark.plans.partitioning import (
+    hot_conversations,
+    turn_count_aware_repartition,
+)
+
+
+def test_salted_unique_counts_hot_key_exactly(spark):
+    """One key duplicated 10k times, spread over 32 input splits: the
+    two-phase salted aggregation must report count=10000 exactly (salt
+    boundaries must not split or double-count)."""
+    hot = spark.range(10_000).select(
+        F.lit("conv_hot").alias("conv_id"), F.lit(7).alias("turn_idx")
+    )
+    cold = spark.range(1000).select(
+        F.format_string("conv_%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+    )
+    df = hot.unionByName(cold).repartition(32)
+    res = ValidationRunner([Unique("u", columns=("conv_id", "turn_idx"))], n_buckets=8).run(df)
+    viol = res.violations.toPandas()
+    assert len(viol) == 1
+    assert viol.iloc[0]["conv_id"] == "conv_hot"
+    assert viol.iloc[0]["detail"] == "duplicate key count=10000"
+
+
+def test_salted_equals_unsalted(spark):
+    df = spark.range(5000).select(
+        F.format_string("conv_%d", F.pmod(F.col("id"), F.lit(700))).alias("conv_id"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("turn_idx"),
+    )
+    a = (
+        ValidationRunner([Unique("u", salted=True)], n_buckets=8)
+        .run(df).violations.toPandas()
+    )
+    b = (
+        ValidationRunner([Unique("u", salted=False)], n_buckets=8)
+        .run(df).violations.toPandas()
+    )
+    key = ["conv_id", "turn_idx", "detail"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+def test_hot_conversation_detection(spark):
+    hot = spark.range(50_000).select(F.lit("conv_hot").alias("conv_id"))
+    cold = spark.range(10_000).select(
+        F.format_string("conv_%d", F.pmod(F.col("id"), F.lit(500))).alias("conv_id")
+    )
+    df = hot.unionByName(cold)
+    found = hot_conversations(df, threshold_rows=20_000, sample_fraction=0.1).toPandas()
+    assert "conv_hot" in set(found["conv_id"])
+    assert len(found) == 1
+
+
+def test_turn_count_aware_repartition(spark):
+    df = spark.range(100_000).select(
+        F.format_string("conv_%d", F.pmod(F.col("id"), F.lit(997))).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+    )
+    out = turn_count_aware_repartition(df, target_rows_per_task=10_000, sample_fraction=0.2)
+    n = out.rdd.getNumPartitions()
+    assert 8 <= n <= 16  # ~100k/10k = 10, clamped at min 8

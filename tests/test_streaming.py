@@ -1,0 +1,122 @@
+"""Structured-streaming validation: file stream → violations → windowed
+counts (memory sink, processAllAvailable drives it synchronously)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.constraints import (
+    InSet,
+    NotNull,
+    RefIntegrity,
+    ValidationRunner,
+    default_transcript_checks,
+)
+from hdfs_anomaly_detection_spark.fixtures import FixtureConfig, build_fixture
+from hdfs_anomaly_detection_spark.manifest import ValidationJob
+from hdfs_anomaly_detection_spark.streaming import (
+    foreach_batch_validator,
+    stream_checks,
+    streaming_violations,
+    windowed_violation_counts,
+)
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    cfg = FixtureConfig(
+        n_conversations=120, null_text_rate=0.05, bad_role_rate=0.03, dangling_tool_rate=0.1
+    )
+    fx = build_fixture(spark, cfg)
+    path = str(tmp_path / "stream_in")
+    fx.fact.write.mode("overwrite").parquet(path)
+    return fx, path
+
+
+CHECKS = [
+    NotNull("not_null_text", column="text"),
+    InSet("role_domain", column="role", values=("user", "assistant", "tool")),
+    RefIntegrity("ref_tool", fk=("tool",), dim="tools", pk=("tool",), broadcast=True),
+]
+
+
+def test_stream_violations_match_batch(spark, staged):
+    fx, path = staged
+    schema = fx.fact.schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    viol_stream = streaming_violations(stream, CHECKS, dims={"tools": fx.tools})
+
+    q = (
+        viol_stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("viols")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT part_id, check_id, conv_id, turn_idx FROM viols").toPandas()
+
+    batch = ValidationRunner(CHECKS, dims={"tools": fx.tools}).run(fx.fact)
+    exp = batch.violations.select("part_id", "check_id", "conv_id", "turn_idx").toPandas()
+    key = ["part_id", "check_id", "conv_id", "turn_idx"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, exp[key].values.tolist())
+    )
+    assert len(got) > 0
+
+
+def test_windowed_counts(spark, staged):
+    fx, path = staged
+    stream = spark.readStream.schema(fx.fact.schema).parquet(path)
+    counts = windowed_violation_counts(
+        streaming_violations(stream, CHECKS, dims={"tools": fx.tools}),
+        watermark="1 minute",
+        window="1 hour",
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wincounts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append-mode windowed aggs only emit once the watermark passes; a
+    # bounded file stream never advances past the max event, so assert
+    # plan validity via the in-progress state rather than emitted rows
+    got = spark.sql("SELECT * FROM wincounts").toPandas()
+    assert list(got.columns) == [
+        "window_start", "window_end", "part_id", "check_id", "n_violations",
+    ]
+
+
+def test_stream_checks_filters_unsafe(spark):
+    checks = default_transcript_checks(dims=False)
+    safe = stream_checks(checks)
+    names = {c.name for c in safe}
+    assert "unique_turn" not in names and "turn_order" not in names
+    assert "not_null_text" in names
+
+
+def test_foreach_batch_full_validation(spark, staged, tmp_path):
+    fx, path = staged
+    job = ValidationJob(
+        ValidationRunner(default_transcript_checks(dims=False), n_buckets=8),
+        str(tmp_path / "stream_out"),
+    )
+    stream = spark.readStream.schema(fx.fact.schema).parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_validator(job))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    man = job.manifest(spark).toPandas()
+    assert (man["status"] == "done").all() and len(man) > 0
+    assert job.violations(spark).count() > 0
