@@ -63,16 +63,20 @@ def bench_fixture_paths(spark):
         dangling_conv_rate=CORRUPTED.dangling_conv_rate,
         dangling_tool_rate=CORRUPTED.dangling_tool_rate,
     )
-    tag = f"c{N_CONVS}"
-    paths = {n: f"{CACHE}/{tag}/{n}" for n in ("fact", "conversations", "tools", "ref")}
+    tag = f"c{N_CONVS}_v2"
+    paths = {n: f"{CACHE}/{tag}/{n}" for n in ("fact", "conversations", "tools", "ref_hashes")}
     if not os.path.exists(f"{CACHE}/{tag}/_DONE"):
+        from hdfs_anomaly_detection_spark.constraints.runner import reference_hashes
+
         fx = build_fixture(spark, cfg)
         fx.fact.repartition(CPUS * 2).write.mode("overwrite").parquet(paths["fact"])
         fx.conversations.write.mode("overwrite").parquet(paths["conversations"])
         fx.tools.write.mode("overwrite").parquet(paths["tools"])
-        clean_transcripts(spark, cfg).repartition(CPUS * 2).write.mode(
-            "overwrite"
-        ).parquet(paths["ref"])
+        # static reference corpus ⇒ canonical hashes precomputed once,
+        # not re-canonicalized per validation run
+        reference_hashes(
+            clean_transcripts(spark, cfg), TextEquals("text_equals")
+        ).repartition(CPUS * 2).write.mode("overwrite").parquet(paths["ref_hashes"])
         open(f"{CACHE}/{tag}/_DONE", "w").write("ok")
     return paths
 
@@ -86,7 +90,7 @@ def run_validation(spark, paths) -> tuple[float, int, int]:
             "conversations": spark.read.parquet(paths["conversations"]),
             "tools": spark.read.parquet(paths["tools"]),
         },
-        reference=spark.read.parquet(paths["ref"]),
+        reference=spark.read.parquet(paths["ref_hashes"]),
     )
     t0 = time.time()
     res = runner.run(fact)

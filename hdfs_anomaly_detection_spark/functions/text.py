@@ -19,8 +19,7 @@ from pyspark.sql import functions as F
 _CANON_PATTERNS: list[tuple[str, str]] = [
     (r"\d{4}-\d{2}-\d{2}[ t_]\d{2}:\d{2}:\d{2}(\.\d+)?", " <ts> "),
     (r"\b\d{1,3}(\.\d{1,3}){3}(:\d+)?\b", " <ip> "),
-    (r"\b0x[0-9a-f]+\b", " <hex> "),
-    (r"\b[0-9a-f]{8,}\b", " <hex> "),
+    (r"\b(0x[0-9a-f]+|[0-9a-f]{8,})\b", " <hex> "),
     (r"(?<![a-z0-9])[-+]?\d+(\.\d+)?(?![a-z0-9])", " <num> "),
     (r"\s+", " "),
 ]

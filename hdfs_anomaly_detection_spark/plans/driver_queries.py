@@ -820,6 +820,150 @@ def t_quality_score(spark, sf_dir):
 
 
 @register(
+    "q_deterministic_sample",
+    """
+SELECT event_id, event_type FROM events
+WHERE substring(md5(cast(event_id AS STRING)), 1, 2) < '10'
+""",
+)
+def q_deterministic_sample(spark, sf_dir):
+    # seeded/deterministic sampling (SURVEY §2.7; reference seeds all
+    # sampling with random_state=42, hdfs_line_level_loader_v2.py:184-187).
+    # Hash-based sampling is the cluster-stable analogue: identical sample
+    # at any parallelism, unlike Bernoulli sample() whose draw depends on
+    # partition layout. md5 is dialect-common (Spark & DuckDB agree).
+    ev = load_table(spark, sf_dir, "events")
+    frac = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    return ev.filter(frac < "10").select("event_id", "event_type")
+
+
+@register(
+    "q_latest_per_group",
+    """
+SELECT event_type, event_id, cast(ts AS STRING) AS ts_s FROM (
+  SELECT event_type, event_id, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def q_latest_per_group(spark, sf_dir):
+    # freshness: latest row per group (grafana_test_queries.sql:313-322)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", F.col("ts").cast("string").alias("ts_s"))
+    )
+
+
+@register(
+    "s_embedding_norm_stats",
+    """
+SELECT label,
+       round(avg(sqrt(list_dot_product(cast(embedding AS DOUBLE[]),
+                                       cast(embedding AS DOUBLE[])))), 4) AS avg_norm,
+       round(min(sqrt(list_dot_product(cast(embedding AS DOUBLE[]),
+                                       cast(embedding AS DOUBLE[])))), 4) AS min_norm,
+       round(max(sqrt(list_dot_product(cast(embedding AS DOUBLE[]),
+                                       cast(embedding AS DOUBLE[])))), 4) AS max_norm
+FROM embeddings GROUP BY label
+""",
+)
+def s_embedding_norm_stats(spark, sf_dir):
+    # vector-collection statistics (helper-scripts/analyze_embeddings.py:45-57):
+    # per-label L2-norm stats, JVM-side via F.aggregate (no Python UDF)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    return emb.select("label", norm.alias("nrm")).groupBy("label").agg(
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
+@register(
+    "q_weighted_vote",
+    """
+SELECT user_id,
+       round(sum(value * CASE event_type WHEN 'click' THEN 0.4 WHEN 'view' THEN 0.1
+                                         WHEN 'purchase' THEN 0.9 ELSE 0.2 END)
+             / sum(CASE event_type WHEN 'click' THEN 0.4 WHEN 'view' THEN 0.1
+                                   WHEN 'purchase' THEN 0.9 ELSE 0.2 END), 4) AS score,
+       CASE WHEN sum(value * CASE event_type WHEN 'click' THEN 0.4 WHEN 'view' THEN 0.1
+                                             WHEN 'purchase' THEN 0.9 ELSE 0.2 END)
+                 / sum(CASE event_type WHEN 'click' THEN 0.4 WHEN 'view' THEN 0.1
+                                       WHEN 'purchase' THEN 0.9 ELSE 0.2 END) > 50.0
+            THEN 1 ELSE 0 END AS verdict
+FROM events WHERE user_id < 100 GROUP BY user_id
+""",
+)
+def q_weighted_vote(spark, sf_dir):
+    # F1-weighted ensemble vote + threshold verdict
+    # (anomaly_detection_service.py:571-623): normalized weighted average
+    # of per-model scores, then score > t ⇒ 1
+    ev = load_table(spark, sf_dir, "events")
+    wgt = (
+        F.when(F.col("event_type") == "click", 0.4)
+        .when(F.col("event_type") == "view", 0.1)
+        .when(F.col("event_type") == "purchase", 0.9)
+        .otherwise(0.2)
+    )
+    score = F.sum(F.col("value") * wgt) / F.sum(wgt)
+    return ev.filter(F.col("user_id") < 100).groupBy("user_id").agg(
+        F.round(score, 4).alias("score"),
+        F.when(score > 50.0, 1).otherwise(0).alias("verdict"),
+    )
+
+
+@register(
+    "q_set_except",
+    """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey AS o_custkey FROM customer WHERE c_custkey % 2 = 0
+""",
+)
+def q_set_except(spark, sf_dir):
+    # set-difference semantics (grafana/test_sqlite_datasource.py:58-77
+    # required-minus-found schema check): ordering customers outside the
+    # even-key allowlist — deterministically non-empty at any sf
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    allow = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return o.subtract(allow)
+
+
+@register(
+    "q_json_extract",
+    """
+SELECT cast(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n
+FROM events WHERE props IS NOT NULL GROUP BY 1
+""",
+)
+def q_json_extract(spark, sf_dir):
+    # JSON field unpack (JSON_EXTRACT(model_votes,'$.dt') in the grafana
+    # dashboards; model_votes persisted as TEXT at
+    # anomaly_detection_service.py:195)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "q_rank_suppliers",
     """
 SELECT s_suppkey, s_name,

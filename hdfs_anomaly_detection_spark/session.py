@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # allow joins to ride an existing hash(conv_id) exchange when the
+        # join keys are a superset (single-exchange validation plan)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # ParallelGC beats the G1 default ~1.4x at 32 threads on the
         # allocation-heavy regex canonicalization path (measured: 48.8s
