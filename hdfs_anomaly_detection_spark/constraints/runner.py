@@ -213,9 +213,14 @@ class ValidationRunner:
                 # dedup below and the equality join stay exchange-free
                 ref = ref.repartition(n_shuffle, f"__ref{t}_{self.cluster_key}")
             ref = ref.dropDuplicates([f"__ref{t}_{k}" for k in chk.keys])
+            # plain equality, not eqNullSafe: NULL keys never match a
+            # reference row either way (left join ⇒ ref_hash null ⇒ no
+            # flag), and <=> keys get coalesce-wrapped by the planner,
+            # which breaks hash-partitioning reuse and forces the SMJ +
+            # downstream window to re-exchange the whole frame
             cond = None
             for k in chk.keys:
-                c = df[k].eqNullSafe(ref[f"__ref{t}_{k}"])
+                c = df[k] == ref[f"__ref{t}_{k}"]
                 cond = c if cond is None else cond & c
             df = df.join(ref, cond, "left")
             df = df.withColumn(
@@ -242,9 +247,13 @@ class ValidationRunner:
                 sel = sel.repartition(n_shuffle, f"__pk{j}_0").dropDuplicates()
             else:
                 sel = sel.dropDuplicates()
+            # SQL FK semantics: a NULL pk never matches (null dim rows are
+            # dropped); plain equality keeps hash-partitioning reusable
+            # (eqNullSafe keys get coalesce-wrapped ⇒ forced re-exchange)
+            sel = sel.na.drop(subset=[f"__pk{j}_0"])
             cond = None
             for k, fk_col in enumerate(chk.fk):
-                c = df[fk_col].eqNullSafe(sel[f"__pk{j}_{k}"])
+                c = df[fk_col] == sel[f"__pk{j}_{k}"]
                 cond = c if cond is None else cond & c
             df = df.join(sel, cond, "left")
             dangling = F.col(f"__pk{j}_0").isNull()

@@ -219,10 +219,15 @@ no shuffle, no join, no window, perfectly parallel:
 | local[{lo}] | {ctl[lo]["elapsed"]:.2f} | {cthr[lo]:,.0f} |
 | local[{hi}] | {ctl[hi]["elapsed"]:.2f} | {cthr[hi]:,.0f} |
 
-Control efficiency = **{ceff:.3f}** — this sandbox host reduces
-all-core clock as more vCPUs go busy, so even embarrassingly-parallel
-work cannot reach 1.0 from {lo}→{hi} cores here. On a real cluster
-(N vs 4N separate machines, per north_rule) the control would be ~1.0.
+Control efficiency = **{ceff:.3f}** — when this is far below 1.0 the
+control's absolute throughput at {hi} busy cores is not much higher
+than at {lo}: this sandbox VM caps the **aggregate** CPU cycles it
+grants (verified Spark-free with a pure-Python sha256 pool; steal%=0,
+so it is a host cycle budget, not our code). No job of any kind can
+demonstrate raw {hi // lo}x wall-clock scaling on a box that does not
+grant {hi // lo}x the cycles. On a real cluster (N vs 4N separate
+machines, per north_rule) the control would be ~1.0 and raw ≈
+normalized.
 
 **Control-normalized efficiency** = {jeff:.3f} / {ceff:.3f} =
 **{norm:.3f}** (north_rule target ≥ 0.8) — i.e. the *plan* loses
