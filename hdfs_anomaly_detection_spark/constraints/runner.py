@@ -86,6 +86,7 @@ class ValidationRunner:
         baselines: dict[str, list] | None = None,
         part_col: str | None = None,
         cluster_key: str | None = "conv_id",
+        carry_cols: tuple[str, ...] = (),
     ) -> None:
         """``part_col``: use an existing int column as the partition id
         (e.g. an Iceberg partition column) instead of the default
@@ -110,6 +111,10 @@ class ValidationRunner:
         self.baselines = baselines or {}
         self.part_col = part_col
         self.cluster_key = cluster_key
+        # payload columns a caller needs carried through the narrow frame
+        # (e.g. the streaming watermark needs ts); every extra column
+        # multiplies across all downstream exchanges, so opt-in only
+        self.carry_cols = tuple(carry_cols)
 
     def pid_expr(self) -> F.Column:
         if self.part_col:
@@ -148,8 +153,11 @@ class ValidationRunner:
             extra |= set(chk.fk)
         for chk in te_checks:
             extra |= set(chk.keys)
-        if "ts" in fact_cols:
-            extra.add("ts")  # streaming watermark / freshness consumers
+        # NOTE: ts (or any other payload column) enters the narrow frame
+        # only if a check references it or the caller asked via carry_cols
+        # — every surplus 8B/row column multiplies across all downstream
+        # exchanges
+        extra |= set(self.carry_cols)
         extra -= {"conv_id", "turn_idx"}
 
         select_cols = [
@@ -178,7 +186,7 @@ class ValidationRunner:
         # rides ONE hash(cluster_key) repartition; subset co-partitioning
         # lets the (conv_id, turn_idx) SMJ reuse it
         n_shuffle = int(fact.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        clustered = (
+        clustered = self._clustered = bool(
             self.cluster_key is not None
             and self.cluster_key in fact.columns
             and (mono_checks or te_checks or ri_checks)
@@ -346,12 +354,29 @@ class ValidationRunner:
             )
         )
 
-    def _unique_violations(self, fact: DataFrame) -> DataFrame | None:
+    def _unique_violations(
+        self, fact: DataFrame, flagged: DataFrame | None = None
+    ) -> DataFrame | None:
+        """``flagged``: when the clustered narrow frame is available AND
+        the unique key contains the cluster key, count duplicates on it —
+        the frame is hash-partitioned by a subset of the grouping keys,
+        so the aggregation is partition-local: no extra scan of the fact
+        table and no extra shuffle. The salted two-phase aggregation
+        remains the path whenever clustering is unavailable (and is what
+        hot-key skew tests exercise)."""
         out = None
         for chk in dsl.of_type(self.checks, Unique):
             key = list(chk.columns)
-            src = fact.withColumn("__pid", self.pid_expr())
-            if chk.salted:
+            rides_cluster = (
+                flagged is not None
+                and self.cluster_key in key
+                and all(k in flagged.columns for k in key)
+            )
+            if rides_cluster:
+                src = flagged.withColumnRenamed("part_id", "__pid")
+            else:
+                src = fact.withColumn("__pid", self.pid_expr())
+            if chk.salted and not rides_cluster:
                 # phase 1: partial counts keyed by input split (explicit salt)
                 partial = src.groupBy(
                     "__pid", *key, F.spark_partition_id().alias("__salt")
@@ -373,26 +398,44 @@ class ValidationRunner:
     # ------------------------------------------------------------------ run
 
     def run(self, fact: DataFrame, persist: bool = True) -> ValidationResult:
-        """``persist=True`` caches the (small) violations frame so the
-        expensive flagged scan (joins + windows over the full input)
-        executes once even though both the violations output and the
-        verdict counts consume it. Violations are orders of magnitude
-        smaller than the input; MEMORY_AND_DISK spills if not."""
+        """``persist=True`` caches one intermediate so the expensive
+        flagged scan (full-row predicates + canonicalize + joins +
+        windows) executes once even though several outputs consume it:
+
+        * clustered plan: the NARROW flagged frame is persisted
+          (MEMORY_AND_DISK; ~50 B/row). Row violations (explode),
+          uniqueness counts (partition-local — the frame is already
+          hash-partitioned on the cluster key), and per-partition row
+          counts are all derived from it: the fact table is scanned
+          exactly once per run.
+        * unclustered plan: the (much smaller) violations frame is
+          persisted and uniqueness/row counts re-scan fact with pruned
+          columns."""
+        from pyspark import StorageLevel
+
         spark = fact.sparkSession
         flagged, flags = self._flagged(fact)
+        # reuse of the flagged frame by uniqueness/row-counts only pays
+        # when it is cached — otherwise they would recompute the whole
+        # expensive scan and the pruned fact scans are cheaper
+        reuse = getattr(self, "_clustered", False) and persist
+        if reuse:
+            flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
         violations = self._row_violations(flagged, flags)
-        uniq = self._unique_violations(fact)
+        uniq = self._unique_violations(fact, flagged if reuse else None)
         if uniq is not None:
             violations = violations.unionByName(uniq)
-        if persist:
-            from pyspark import StorageLevel
-
+        if persist and not reuse:
             violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # per-partition row counts: narrow, column-pruned scan
-        parts = fact.select(self.pid_expr().alias("part_id")).groupBy(
-            "part_id"
-        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        # per-partition row counts: from the cached narrow frame when
+        # available (tiny partial-agg shuffle), else a column-pruned scan
+        if reuse:
+            parts = flagged.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
+        else:
+            parts = fact.select(self.pid_expr().alias("part_id")).groupBy(
+                "part_id"
+            ).agg(F.count(F.lit(1)).alias("n_rows"))
 
         count_checks = [
             c

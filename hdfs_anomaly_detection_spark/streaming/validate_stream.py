@@ -52,7 +52,9 @@ def streaming_violations(
     explode — applied to an unbounded DataFrame. Keeps the event ``ts``
     so downstream windowing can watermark."""
     safe = stream_checks(checks)
-    runner = ValidationRunner(safe, n_buckets=n_buckets, dims=dims or {})
+    runner = ValidationRunner(
+        safe, n_buckets=n_buckets, dims=dims or {}, carry_cols=("ts",)
+    )
     flagged, flags = runner._flagged(stream_df)
     if not flags:
         raise ValueError("no stream-safe checks supplied")

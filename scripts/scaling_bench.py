@@ -11,17 +11,19 @@ Two measurement-hygiene facts about this sandbox (both verified by the
 pure-CPU control below, and both would NOT apply on a real multi-node
 cluster):
 
-* The host reduces all-core clock as more vCPUs go busy: a pure-CPU
-  control (the same canonicalize+xxhash64 kernel, map-only, no shuffle)
-  scales at ~0.75-0.8 from 8 to 32 cores even with zero Spark overhead.
-  On a real cluster, 4N executors are 4N independent machines at full
-  clock, so the control would scale ~1.0. We therefore report BOTH the
-  raw efficiency and the control-normalized efficiency
+* The host caps the AGGREGATE cycles it grants across busy vCPUs: a
+  pure-CPU control (the same canonicalize+xxhash64 kernel, map-only, no
+  shuffle) scales well below 1.0 from 8 to 32 cores even with zero
+  Spark overhead (verified Spark-free with a multiprocessing sha256
+  pool; steal%=0). On a real cluster, 4N executors are 4N independent
+  machines at full clock, so the control would scale ~1.0. We therefore
+  report BOTH the raw efficiency and the control-normalized efficiency
   (job_eff / control_eff) — the latter is the number comparable to the
   north_rule's multi-executor criterion.
-* Run-to-run noise is 2-3x (host tenancy), so each level runs
-  ``TRIALS`` times interleaved and the best throughput per level is
-  used (standard practice for noisy shared hosts).
+* The granted budget also DRIFTS over tens of minutes (2-3x), so each
+  trial runs job@N, job@4N, control@N, control@4N back-to-back inside
+  one tight window, producing one paired efficiency sample; the
+  reported numbers are medians over ``TRIALS`` such samples.
 
 Usage: PYTHONPATH=/root/repo python3 scripts/scaling_bench.py [n_convs]
        python3 scripts/scaling_bench.py --level 8 <cache> [--control]
@@ -167,28 +169,40 @@ def main() -> None:
             env={**os.environ, "PYTHONPATH": REPO}, timeout=3600, check=True,
         )
 
-    # interleaved best-of-TRIALS per level (job), 2 trials for control
-    job: dict[int, dict] = {}
-    ctl: dict[int, dict] = {}
-    for t in range(TRIALS):
-        for cpus in LEVELS:
-            r = _run_sub(cpus, cache)
-            print(json.dumps(r))
-            if cpus not in job or r["elapsed"] < job[cpus]["elapsed"]:
-                job[cpus] = r
-    for t in range(2):
-        for cpus in LEVELS:
-            r = _run_sub(cpus, cache, control=True)
-            print(json.dumps(r))
-            if cpus not in ctl or r["elapsed"] < ctl[cpus]["elapsed"]:
-                ctl[cpus] = r
-
+    # the host's cycle budget DRIFTS over tens of minutes, so levels must
+    # be compared within a tight time window: each trial runs
+    # job@lo, job@hi, ctl@lo, ctl@hi back-to-back and yields ONE
+    # efficiency sample; the median across trials cancels both drift
+    # (paired within a window) and outliers
     lo, hi = LEVELS
+    trials: list[dict] = []
+    for t in range(TRIALS):
+        jl = _run_sub(lo, cache)
+        jh = _run_sub(hi, cache)
+        cl = _run_sub(lo, cache, control=True)
+        ch = _run_sub(hi, cache, control=True)
+        for r in (jl, jh, cl, ch):
+            print(json.dumps(r))
+        eff = (jl["elapsed"] / jh["elapsed"]) / (hi / lo)
+        ceff_t = (cl["elapsed"] / ch["elapsed"]) / (hi / lo)
+        trials.append({
+            "job": {lo: jl, hi: jh}, "ctl": {lo: cl, hi: ch},
+            "eff": eff, "ceff": ceff_t,
+            "norm": eff / ceff_t if ceff_t > 0 else float("nan"),
+        })
+        print(json.dumps({"trial": t, "eff": round(eff, 3),
+                          "ceff": round(ceff_t, 3),
+                          "norm": round(trials[-1]["norm"], 3)}))
+
+    import statistics
+
+    med = lambda k: statistics.median(tr[k] for tr in trials)  # noqa: E731
+    jeff, ceff, norm = med("eff"), med("ceff"), med("norm")
+    # representative wall times: the median-norm trial
+    best = min(trials, key=lambda tr: abs(tr["norm"] - norm))
+    job, ctl = best["job"], best["ctl"]
     jthr = {c: job[c]["rows"] / job[c]["elapsed"] for c in LEVELS}
     cthr = {c: ctl[c]["rows"] / ctl[c]["elapsed"] for c in LEVELS}
-    jeff = (jthr[hi] / jthr[lo]) / (hi / lo)
-    ceff = (cthr[hi] / cthr[lo]) / (hi / lo)
-    norm = jeff / ceff if ceff > 0 else float("nan")
     rows = job[lo]["rows"]
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
@@ -199,15 +213,22 @@ salted uniqueness, referential integrity vs 2 dims, ordering window,
 per-turn text-equality invariant vs precomputed reference hashes) over
 the same cached {rows:,}-turn corrupted transcripts parquet, at two
 pinned parallelism levels (`taskset -c 0-(N-1) … local[N]`, shuffle
-partitions = 2N). Best of {TRIALS} interleaved trials per level (host
-tenancy noise is 2-3x run-to-run).
+partitions = 2N). The host's granted cycle budget drifts over tens of
+minutes (2-3x), so each of the {TRIALS} trials runs job@{lo}, job@{hi},
+control@{lo}, control@{hi} back-to-back inside one tight window and
+yields one paired efficiency sample; the table shows the median trial
+and the efficiencies are medians across trials.
 
 | parallelism | wall sec | validated turns/sec |
 |---|---|---|
 | local[{lo}] | {job[lo]["elapsed"]:.2f} | {jthr[lo]:,.0f} |
 | local[{hi}] | {job[hi]["elapsed"]:.2f} | {jthr[hi]:,.0f} |
 
-**Raw scaling efficiency** (thr@{hi}/thr@{lo})/({hi}/{lo}) = **{jeff:.3f}**
+**Raw scaling efficiency** (thr@{hi}/thr@{lo})/({hi}/{lo}), median of
+{TRIALS} paired trials = **{jeff:.3f}**
+
+Per-trial samples (eff / control-eff / normalized):
+{chr(10).join(f"* trial {i}: {tr['eff']:.3f} / {tr['ceff']:.3f} / {tr['norm']:.3f}" for i, tr in enumerate(trials))}
 
 ## Hardware control (host core-scaling ceiling)
 
@@ -219,7 +240,8 @@ no shuffle, no join, no window, perfectly parallel:
 | local[{lo}] | {ctl[lo]["elapsed"]:.2f} | {cthr[lo]:,.0f} |
 | local[{hi}] | {ctl[hi]["elapsed"]:.2f} | {cthr[hi]:,.0f} |
 
-Control efficiency = **{ceff:.3f}** — when this is far below 1.0 the
+Control efficiency (median of paired trials) = **{ceff:.3f}** — when
+this is far below 1.0 the
 control's absolute throughput at {hi} busy cores is not much higher
 than at {lo}: this sandbox VM caps the **aggregate** CPU cycles it
 grants (verified Spark-free with a pure-Python sha256 pool; steal%=0,
@@ -229,11 +251,11 @@ grant {hi // lo}x the cycles. On a real cluster (N vs 4N separate
 machines, per north_rule) the control would be ~1.0 and raw ≈
 normalized.
 
-**Control-normalized efficiency** = {jeff:.3f} / {ceff:.3f} =
-**{norm:.3f}** (north_rule target ≥ 0.8) — i.e. the *plan* loses
-{max(0.0, (1 - norm)) * 100:.0f}% to shuffles/joins/stage barriers beyond what the
-hardware itself loses; this is the number comparable to a real
-multi-executor scale-out.
+**Control-normalized efficiency** (median of per-trial job_eff/ctl_eff)
+= **{norm:.3f}** (north_rule target ≥ 0.8) — the share of the hardware's
+own scaling the plan retains; shuffles/joins/stage barriers cost the
+remainder. This is the number comparable to a real multi-executor
+scale-out, where the control would be ~1.0.
 
 Violations found (identical at both levels): {job[lo]["violations"]:,} vs
 {job[hi]["violations"]:,}.
