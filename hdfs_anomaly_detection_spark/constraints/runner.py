@@ -11,12 +11,20 @@ Plan shape (scale rationale):
   into ONE flagged scan; violation rows come from exploding a compacted
   struct array (rows with no failures are dropped by ``explode`` for
   free). No per-check scans.
-* Uniqueness runs as a salted two-phase aggregation (partial counts per
-  input split → final merge), so a hot (conv_id, turn_idx) key never
-  concentrates on one reducer.
+* The narrow flagged frame is hash-repartitioned once on the cluster key
+  (conv_id); the reference-equality SMJ, dim joins, ordering windows,
+  uniqueness counts, and per-partition row counts all ride that single
+  exchange (subset co-partitioning) — the fact table is scanned exactly
+  once per clustered run, with the persisted narrow frame (~50 B/row)
+  feeding every output.
+* Uniqueness without clustering runs as a salted two-phase aggregation
+  (partial counts per input split → final merge), so a hot
+  (conv_id, turn_idx) key never concentrates on one reducer; with
+  clustering the count is partition-local (strictly better — zero
+  cross-node movement for the same exact counts).
 * Verdicts = tiny aggregates: violation counts per (part_id, check_id)
-  joined against per-partition row counts (a column-pruned narrow scan).
-  Nothing driver-side is proportional to row count.
+  joined against per-partition row counts. Nothing driver-side is
+  proportional to row count.
 
 The per-row verdict record mirrors the reference's ``AnomalyResult``
 (``anomaly-detection-service/anomaly_detection_service.py:58-68``); the
