@@ -1,0 +1,80 @@
+"""Physical-plan regression guards for the clustered validation plan.
+
+The scale story depends on plan SHAPE, not just results: one full-frame
+exchange, no text columns in any shuffle, dims broadcast or SMJ'd by
+size. These tests pin that shape so a future change that silently
+reintroduces an exchange (e.g. the eqNullSafe coalesce-wrapping regression)
+fails CI instead of only showing up as a 2x slowdown at scale.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.constraints import (
+    TextEquals,
+    ValidationRunner,
+    default_transcript_checks,
+)
+from hdfs_anomaly_detection_spark.fixtures import (
+    FixtureConfig,
+    build_fixture,
+    clean_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def flagged_plan(spark):
+    cfg = FixtureConfig(n_conversations=400)
+    fx = build_fixture(spark, cfg)
+    runner = ValidationRunner(
+        default_transcript_checks() + [TextEquals("text_equals")],
+        n_buckets=8,
+        dims={"conversations": fx.conversations, "tools": fx.tools},
+        reference=clean_transcripts(spark, cfg).select(
+            "conv_id", "turn_idx", F.xxhash64("text").alias("canon_hash")
+        ),
+    )
+    # tiny fixtures would auto-broadcast every side and hide the at-scale
+    # SMJ shape; explicit hints (tools) still broadcast
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        flagged, _ = runner._flagged(fx.fact)
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    return plan
+
+
+def test_single_full_frame_exchange(flagged_plan):
+    # fact 1x + ref-hashes 1x + conversations dim 1x + 12-row tools dedup;
+    # the ref-equality SMJ, conv-dim SMJ, and ordering window must NOT add
+    # exchanges of their own
+    n_shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange hash", flagged_plan)) + len(
+        re.findall(r"Exchange RoundRobin", flagged_plan)
+    )
+    assert n_shuffles <= 4, f"plan regressed to {n_shuffles} shuffles:\n{flagged_plan[:4000]}"
+
+
+def test_no_text_column_in_exchanges(flagged_plan):
+    # the narrow frame must not carry the transcript text through a shuffle
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", flagged_plan):
+        assert "text#" not in m.group(1)
+
+
+def test_tools_dim_broadcast_and_large_dims_smj(flagged_plan):
+    assert "BroadcastExchange" in flagged_plan  # hinted 12-row tools dim
+    assert "SortMergeJoin" in flagged_plan  # conversations dim + reference
+
+
+def test_window_reuses_join_sort(flagged_plan):
+    # the ordering window must sit directly above the join output without
+    # its own Sort+Exchange pair: count Sort operators — 2 SMJs need at
+    # most 4 (both sides each), window adds 0 or reuses
+    n_sorts = flagged_plan.count("Sort [")
+    assert n_sorts <= 5, f"unexpected extra sorts ({n_sorts}):\n{flagged_plan[:4000]}"
