@@ -143,6 +143,12 @@ class RefIntegrity(Check):
     ``broadcast=True`` hints a broadcast hash join (small dim); False
     leaves strategy to Catalyst/AQE (sort-merge for large dims).
     ``ignore_null=True``: null FKs don't violate (optional relationship).
+
+    NULL-key semantics (SQL FK semantics, pinned by tests): dim rows
+    with a NULL pk are dropped before the probe, and the join uses plain
+    equality — so a NULL fk never matches anything. With
+    ``ignore_null=False`` a NULL fk is therefore always flagged
+    dangling; with ``ignore_null=True`` it is never flagged.
     """
 
     fk: tuple[str, ...] = ("conv_id",)

@@ -13,10 +13,12 @@ Plan shape (scale rationale):
   free). No per-check scans.
 * The narrow flagged frame is hash-repartitioned once on the cluster key
   (conv_id); the reference-equality SMJ, dim joins, ordering windows,
-  uniqueness counts, and per-partition row counts all ride that single
-  exchange (subset co-partitioning) — the fact table is scanned exactly
-  once per clustered run, with the persisted narrow frame (~50 B/row)
-  feeding every output.
+  uniqueness counts, per-partition row counts AND drift-metric digests
+  all ride that single exchange (subset co-partitioning) — in the
+  clustered plan the fact table is scanned exactly once per run, with
+  the persisted narrow frame (~50 B/row) feeding every output.
+  (Freshness still aggregates ts from its own pruned scan unless ``ts``
+  is carried into the narrow frame via a check or ``carry_cols``.)
 * Uniqueness without clustering runs as a salted two-phase aggregation
   (partial counts per input split → final merge), so a hot
   (conv_id, turn_idx) key never concentrates on one reducer; with
@@ -82,6 +84,15 @@ def reference_hashes(ref_df: DataFrame, chk) -> DataFrame:
 class ValidationResult:
     violations: DataFrame  # VIOLATIONS_SCHEMA
     verdicts: DataFrame  # VERDICTS_SCHEMA
+    # the intermediate the runner persisted (narrow flagged frame or the
+    # violations frame); callers should ``unpersist()`` once both outputs
+    # are materialized so long-lived sessions don't accumulate cache
+    cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
+            self.cached = None
 
 
 class ValidationRunner:
@@ -152,6 +163,7 @@ class ValidationRunner:
         ri_checks = dsl.of_type(self.checks, RefIntegrity)
         mono_checks = dsl.of_type(self.checks, MonotonicOrder)
         te_checks = dsl.of_type(self.checks, TextEquals) if self.reference is not None else []
+        drift_checks = dsl.of_type(self.checks, Drift)
 
         fact_cols = set(fact.columns)
         extra: set[str] = set()
@@ -166,6 +178,10 @@ class ValidationRunner:
         # — every surplus 8B/row column multiplies across all downstream
         # exchanges
         extra |= set(self.carry_cols)
+        # the cluster key must exist IN THE NARROW FRAME (the repartition
+        # below runs on it) even when no check references it
+        if self.cluster_key is not None:
+            extra |= {self.cluster_key} & fact_cols
         extra -= {"conv_id", "turn_idx"}
 
         select_cols = [
@@ -187,12 +203,30 @@ class ValidationRunner:
             select_cols.append(
                 F.when(src.isNotNull(), F.xxhash64(lhs)).alias(f"__te{t}_h")
             )
+        # drift metrics ride the narrow frame as one pre-computed double
+        # per check (e.g. length(text) — 8 B/row instead of a second full
+        # scan of the wide fact table later); 'turn_count' needs no column
+        # at all (it aggregates the keys already present)
+        self._drift_cols: dict[str, str] = {}
+        for g, chk in enumerate(drift_checks):
+            if chk.metric == "turn_count":
+                self._drift_cols[chk.name] = "turn_count"
+            elif chk.metric == "text_length" and "text" in fact_cols:
+                select_cols.append(F.length(F.col("text")).cast("double").alias(f"__dm{g}"))
+                self._drift_cols[chk.name] = f"__dm{g}"
+            elif chk.metric in fact_cols:
+                select_cols.append(F.col(chk.metric).cast("double").alias(f"__dm{g}"))
+                self._drift_cols[chk.name] = f"__dm{g}"
         df = fact.select(*select_cols)  # ← the narrow frame
 
         # single-exchange clustering: everything below (reference join,
         # dim joins on the cluster key, ordering windows, ref-side dedup)
         # rides ONE hash(cluster_key) repartition; subset co-partitioning
         # lets the (conv_id, turn_idx) SMJ reuse it
+        # NOTE: subset co-partitioning relies on
+        # spark.sql.requireAllClusterKeysForCoPartition=false, set ONCE in
+        # session.get_spark (not here — mutating session conf mid-plan
+        # would leak into unrelated queries on a shared session)
         n_shuffle = int(fact.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         clustered = self._clustered = bool(
             self.cluster_key is not None
@@ -200,9 +234,6 @@ class ValidationRunner:
             and (mono_checks or te_checks or ri_checks)
         )
         if clustered:
-            fact.sparkSession.conf.set(
-                "spark.sql.requireAllClusterKeysForCoPartition", "false"
-            )
             df = df.repartition(n_shuffle, self.cluster_key)
 
         for t, chk in enumerate(te_checks):
@@ -413,28 +444,43 @@ class ValidationRunner:
         * clustered plan: the NARROW flagged frame is persisted
           (MEMORY_AND_DISK; ~50 B/row). Row violations (explode),
           uniqueness counts (partition-local — the frame is already
-          hash-partitioned on the cluster key), and per-partition row
-          counts are all derived from it: the fact table is scanned
-          exactly once per run.
+          hash-partitioned on the cluster key), per-partition row
+          counts and drift-metric digests are all derived from it: the
+          fact table is scanned exactly once per run. (Freshness is the
+          one check that still aggregates from its own pruned ts scan.)
         * unclustered plan: the (much smaller) violations frame is
           persisted and uniqueness/row counts re-scan fact with pruned
-          columns."""
+          columns; a Drift check still forces the narrow-frame cache so
+          digests never re-read the wide table.
+
+        The persisted intermediate is returned as ``result.cached`` —
+        call ``result.unpersist()`` once both outputs are materialized."""
         from pyspark import StorageLevel
 
         spark = fact.sparkSession
         flagged, flags = self._flagged(fact)
-        # reuse of the flagged frame by uniqueness/row-counts only pays
-        # when it is cached — otherwise they would recompute the whole
-        # expensive scan and the pruned fact scans are cheaper
-        reuse = getattr(self, "_clustered", False) and persist
+        # reuse of the flagged frame by uniqueness/row-counts/drift only
+        # pays when it is cached — otherwise they would recompute the
+        # whole expensive scan and the pruned fact scans are cheaper.
+        # Drift metrics riding the narrow frame (self._drift_cols) make
+        # the cache worthwhile even without clustering: the digest pass
+        # then reads ~8 B/row from cache instead of re-scanning fact.
+        reuse = persist and (
+            getattr(self, "_clustered", False) or bool(self._drift_cols)
+        )
+        cached: DataFrame | None = None
         if reuse:
             flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = flagged
         violations = self._row_violations(flagged, flags)
-        uniq = self._unique_violations(fact, flagged if reuse else None)
+        uniq = self._unique_violations(
+            fact, flagged if reuse and getattr(self, "_clustered", False) else None
+        )
         if uniq is not None:
             violations = violations.unionByName(uniq)
         if persist and not reuse:
             violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = violations
 
         # per-partition row counts: from the cached narrow frame when
         # available (tiny partial-agg shuffle), else a column-pruned scan
@@ -522,12 +568,36 @@ class ValidationRunner:
         if drift_checks and self.baselines:
             from hdfs_anomaly_detection_spark.sketch.drift import drift_verdicts
 
+            # feed the digests from the persisted narrow frame (the
+            # metric was pre-computed map-side as one double column):
+            # Drift adds ZERO extra fact scans to the clustered plan
+            metric_frames: dict[str, DataFrame] | None = None
+            if reuse:
+                metric_frames = {}
+                for chk in drift_checks:
+                    src = self._drift_cols.get(chk.name)
+                    if src == "turn_count":
+                        metric_frames[chk.metric] = (
+                            flagged.groupBy("part_id", "conv_id")
+                            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                            .select("part_id", "value")
+                        )
+                    elif src is not None:
+                        metric_frames[chk.metric] = flagged.select(
+                            "part_id", F.col(src).alias("value")
+                        ).filter(F.col("value").isNotNull())
             dv = drift_verdicts(
-                fact, drift_checks, self.baselines, n_buckets=self.n_buckets
+                fact,
+                drift_checks,
+                self.baselines,
+                n_buckets=self.n_buckets,
+                metric_frames=metric_frames,
             )
             verdicts = verdicts.unionByName(dv)
 
-        return ValidationResult(violations=violations, verdicts=verdicts)
+        return ValidationResult(
+            violations=violations, verdicts=verdicts, cached=cached
+        )
 
     @staticmethod
     def _schema_diffs(

@@ -42,6 +42,10 @@ def register(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # single-exchange validation plan needs subset co-partitioning
+            # (set here for driver-owned sessions; session.get_spark sets
+            # it for engine-owned ones)
+            spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

@@ -79,9 +79,16 @@ def drift_verdicts(
     checks: list,  # list[dsl.Drift]
     baselines: dict[str, pd.DataFrame],
     n_buckets: int = 32,
+    metric_frames: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """VERDICTS_SCHEMA rows: one per (part_id, drift-check), statistic =
-    KS or PSI vs baseline, passed = statistic ≤ threshold."""
+    KS or PSI vs baseline, passed = statistic ≤ threshold.
+
+    ``metric_frames``: optional pre-built (part_id, value) frames keyed
+    by metric name — the runner passes projections of its persisted
+    narrow frame so the digest pass reads ~8 B/row from cache instead of
+    re-scanning the wide fact table (one fact scan per run, Drift
+    included)."""
     spark = fact.sparkSession
     rows: list[tuple] = []
     for chk in checks:
@@ -89,9 +96,10 @@ def drift_verdicts(
         if base_pd is None:
             continue
         base_by_pid = {int(r["part_id"]): _to_digest(r) for _, r in base_pd.iterrows()}
-        cur_pd = digests_to_pandas(
-            build_partition_digests(metric_frame(fact, chk.metric, n_buckets), chk.metric)
-        )
+        mf = (metric_frames or {}).get(chk.metric)
+        if mf is None:
+            mf = metric_frame(fact, chk.metric, n_buckets)
+        cur_pd = digests_to_pandas(build_partition_digests(mf, chk.metric))
         for _, r in cur_pd.iterrows():
             pid = int(r["part_id"])
             cur = _to_digest(r)

@@ -156,6 +156,29 @@ def test_clean_fixture_all_pass(spark):
     assert verd["passed"].all()
 
 
+def test_ref_integrity_null_key_semantics(spark):
+    """Pins the SQL-FK NULL semantics (r1 ADVICE): a NULL dim pk never
+    matches, and a NULL fk is flagged iff ignore_null=False."""
+    from hdfs_anomaly_detection_spark.constraints import RefIntegrity
+
+    fact = spark.createDataFrame(
+        [("c1", 0, "t1"), ("c2", 0, None), ("c3", 0, "ghost")],
+        "conv_id string, turn_idx int, tool string",
+    )
+    dim = spark.createDataFrame([("t1",), (None,)], "tool string")
+
+    def run(ignore_null: bool) -> set[str]:
+        res = ValidationRunner(
+            [RefIntegrity("ri", fk=("tool",), dim="d", pk=("tool",),
+                          broadcast=True, ignore_null=ignore_null)],
+            dims={"d": dim},
+        ).run(fact)
+        return set(res.violations.toPandas()["conv_id"])
+
+    assert run(ignore_null=True) == {"c3"}
+    assert run(ignore_null=False) == {"c2", "c3"}
+
+
 def test_corrupted_preset_runs(spark):
     fx = build_fixture(spark, CORRUPTED)
     runner = ValidationRunner(
