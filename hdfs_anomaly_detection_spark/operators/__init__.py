@@ -7,6 +7,12 @@ from hdfs_anomaly_detection_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_candidate_pairs,
 )
+from hdfs_anomaly_detection_spark.operators.sampling import (  # noqa: F401
+    rebalance_downsample,
+    stratified_sample,
+    stratified_sample_hash,
+    uniform01,
+)
 from hdfs_anomaly_detection_spark.operators.similarity import (  # noqa: F401
     cosine_sim_expr,
     cosine_topk,
