@@ -98,6 +98,7 @@ def minhash_lsh_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     verify_threshold: float | None = 0.7,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -105,17 +106,28 @@ def minhash_lsh_candidate_pairs(
     is set they are verified with the estimated Jaccard = fraction of
     matching minhashes (an unbiased estimator, avoids re-reading text).
     Returns (id_a, id_b, est_jaccard).
+
+    Shuffle shape (r1 VERDICT fix): the banded self-join carries ONLY
+    (id, band, bh) — the 64-long signature array is dropped pre-shuffle,
+    cutting the candidate-join exchange ~16× (each doc explodes into
+    ``bands`` rows; carrying sig multiplied that by ~0.5 KB/row). The
+    deduplicated candidate pairs (a tiny frame) are then joined back to
+    the (id, sig) frame once per side for the estimate. That re-join
+    recomputes the signatures unless the caller passes a persisted
+    ``sigs`` frame — at scale, persist/checkpoint
+    ``minhash_signatures(df)`` and pass it in.
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
 
     band_hash = F.xxhash64(
         F.col("band"), F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
     )
     banded = sigs.select(
         "id", "sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    ).select("id", "sig", "band", band_hash.alias("bh"))
+    ).select("id", "band", band_hash.alias("bh"))  # ← sig dropped pre-shuffle
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -126,19 +138,16 @@ def minhash_lsh_candidate_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(n_hashes))
     ).alias("est_jaccard")
-    out = pairs.select("id_a", "id_b", est)
+    out = pairs.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est)
     if verify_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= verify_threshold)
     return out
@@ -153,14 +162,35 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("source",),
     shingle_k: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard over pairs within a blocking key
-    (avoids the full O(n²) cross product; the blocked self-join is a
-    shuffle equi-join). Returns (id_a, id_b, jaccard)."""
-    base = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(*block_cols, F.col(id_col).alias("id"), _word_shingles(text_col, shingle_k).alias("sh"))
+    """Exact shingle-set Jaccard verification. Returns (id_a, id_b, jaccard).
+
+    Two modes (r1 VERDICT fix — the blocked self-join alone is O(n²/S)
+    and a handful of coarse blocks makes that effectively all-pairs at
+    100 TB):
+
+    * ``candidates=(id_a, id_b) frame`` — verify exactly those pairs
+      (e.g. MinHash-LSH output) by joining each side back to its shingle
+      set: two equi-joins proportional to |candidates|, never quadratic.
+      This is THE scale path — LSH proposes, true Jaccard disposes.
+    * ``candidates=None`` — blocked self-join within ``block_cols``
+      (kept for small corpora and the dialect-common oracle; the pair
+      space is O(n²/blocks), so only use with a high-cardinality block
+      key)."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        *(block_cols if candidates is None else ()),
+        F.col(id_col).alias("id"),
+        _word_shingles(text_col, shingle_k).alias("sh"),
     )
+    if candidates is not None:
+        sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        j = candidates.select("id_a", "id_b").join(sa, "id_a").join(sb, "id_b")
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        jac = (inter.cast("double") / union).alias("jaccard")
+        return j.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:

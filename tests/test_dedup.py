@@ -99,6 +99,42 @@ def test_ngram_jaccard_pairs_match_python(docs):
         assert got_pairs[k] == pytest.approx(expected[k])
 
 
+def test_minhash_band_exchange_drops_sig(docs):
+    """r1 VERDICT fix: the banded candidate join must shuffle only
+    (id, band, bh) — the 64-long signature array stays out of the
+    exploded 16x exchange and is re-joined once per side afterwards."""
+    df, _ = docs
+    pairs = minhash_lsh_candidate_pairs(df, verify_threshold=0.5)
+    fmt = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain: each Exchange block lists its Input columns
+    import re
+
+    blocks = re.split(r"\(\d+\) Exchange", fmt)
+    for blk in blocks[1:]:
+        head = blk.split("\n\n")[0]
+        if "hashpartitioning(band" in head:
+            inp = next(l for l in head.splitlines() if l.startswith("Input"))
+            assert "sig" not in inp, inp
+
+
+def test_lsh_verified_pairs_match_truth(docs):
+    """LSH candidates verified by true shingle Jaccard == exhaustive
+    all-pairs truth at threshold 0.9 (miss prob ~4e-8 per pair)."""
+    df, pdf = docs
+    cands = minhash_lsh_candidate_pairs(df, verify_threshold=None)
+    got = ngram_jaccard_pairs(df, threshold=0.9, candidates=cands).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    expected = set()
+    rows = list(zip(pdf.dropna(subset=["text"])["doc_id"], pdf.dropna(subset=["text"])["text"]))
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(rows), 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        if len(sa & sb) / len(sa | sb) >= 0.9:
+            expected.add((ia, ib))
+    assert got_pairs == expected and len(expected) > 0
+
+
 def test_simhash_exact_dups_have_zero_hamming(docs):
     df, pdf = docs
     pairs = simhash_candidate_pairs(df, max_hamming=3).toPandas()
