@@ -47,17 +47,22 @@ def cosine_topk(
     round_digits: int | None = 4,
 ) -> DataFrame:
     """Exact brute-force top-k by cosine vs one query vector.
-    Deterministic tie-break on id. Returns (vec_id, sim, rk)."""
+    Deterministic tie-break on id. Returns (vec_id, sim, rk).
+
+    Scale shape: two-stage top-k. ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap and only k·P
+    candidate rows ever leave the executors — then ``row_number`` ranks
+    the ≤k survivors (a window over k rows, not a global single-partition
+    window over the full table, which was r1's scale-killer)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim_expr(F.col(vec_col), q)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = emb.select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
+    # (sim desc, vec_id asc) is a total order, so limit(k) is deterministic
+    top = scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-    )
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

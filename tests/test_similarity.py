@@ -41,6 +41,23 @@ def test_cosine_topk_matches_numpy(emb):
     assert got.iloc[0]["sim"] == pytest.approx(1.0)
 
 
+def test_cosine_topk_plan_is_distributed(emb):
+    """r1 VERDICT fix: top-k must compile to TakeOrderedAndProject (per-
+    task k-row heaps, only k·P rows leave the executors), never a global
+    single-partition row_number window over the full table."""
+    df, pdf, mat = emb
+    plan = (
+        cosine_topk(df, mat[0].tolist(), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # no full-table exchange to one partition before the limit
+    head = plan.split("TakeOrderedAndProject")[0]
+    assert "Exchange SinglePartition" not in head, plan[:3000]
+
+
 def test_lsh_topk_is_subset_with_high_recall(emb):
     df, pdf, mat = emb
     q = mat[3].tolist()

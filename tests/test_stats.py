@@ -72,3 +72,41 @@ def test_length_histogram_vs_pandas(fact):
     assert sorted(hist.index) == sorted(expected.index)
     for b in expected.index:
         assert hist[b] == expected[b]
+
+
+def test_vector_centroid_stats_vs_numpy(spark):
+    import numpy as np
+
+    from hdfs_anomaly_detection_spark.stats import (
+        centroid_outliers,
+        centroid_spread_stats,
+        label_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = df.toPandas()
+    mats = {
+        lbl: np.vstack(g["embedding"].map(np.asarray)).astype(float)
+        for lbl, g in pdf.groupby("label")
+    }
+    cents = {lbl: m.mean(axis=0) for lbl, m in mats.items()}
+
+    got_c = label_centroids(df).toPandas().set_index("label")
+    for lbl, c in cents.items():
+        np.testing.assert_allclose(np.asarray(got_c.loc[lbl, "centroid"]), c, atol=1e-9)
+        assert got_c.loc[lbl, "n"] == len(mats[lbl])
+
+    got_s = centroid_spread_stats(df).toPandas().set_index("label")
+    for lbl, m in mats.items():
+        dists = np.linalg.norm(m - cents[lbl], axis=1)
+        assert got_s.loc[lbl, "avg_dist"] == pytest.approx(dists.mean(), abs=1e-3)
+        assert got_s.loc[lbl, "max_dist"] == pytest.approx(dists.max(), abs=1e-3)
+
+    got_o = centroid_outliers(df, k=2).toPandas()
+    for lbl, g in pdf.groupby("label"):
+        dists = np.linalg.norm(mats[lbl] - cents[lbl], axis=1)
+        ids = g["vec_id"].to_numpy()
+        order = sorted(zip(np.round(dists, 6), -ids), reverse=True)
+        expect = [-i for _, i in order[:2]]
+        sel = got_o[got_o["label"] == lbl].sort_values("rk")
+        assert list(sel["vec_id"]) == expect
