@@ -703,8 +703,84 @@ def d_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-@register("d_simhash_pairs")  # rows-only: pandas-UDF md5 simhash isn't in DuckDB
+@register(
+    "d_lsh_verified_pairs",
+    DOCS_CTE
+    + r"""
+, tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM docs WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in generate_series(1, len(w) - 2)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(a.s || b.s)) >= 0.9
+""",
+)
+def d_lsh_verified_pairs(spark, sf_dir):
+    # the full scale pipeline: MinHash-LSH proposes candidate pairs,
+    # TRUE shingle Jaccard verifies them. The oracle is the unblocked
+    # all-pairs truth: at jaccard >= 0.9 the 16-band/4-row LSH misses a
+    # pair with P = (1 - 0.9^4)^16 ~= 4e-8, so Spark (candidates
+    # verified) and DuckDB (exhaustive) agree deterministically.
+    from hdfs_anomaly_detection_spark.operators import (
+        minhash_lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    cands = minhash_lsh_candidate_pairs(docs, verify_threshold=None)
+    verified = ngram_jaccard_pairs(docs, threshold=0.9, candidates=cands)
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "d_simhash_pairs",
+    DOCS_CTE
+    + r"""
+, tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(cast(text AS VARCHAR)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM docs
+),
+sh AS (
+  -- replay the 64-bit SimHash: per-bit token votes where bit i of a
+  -- token's hash is nibble-decoded from its md5 hex (bit i lives in hex
+  -- char 16 - i//4, position i%4 within the nibble)
+  SELECT doc_id,
+    list_transform(
+      list_transform(generate_series(0, 63),
+        i -> list_sum(list_transform(toks,
+          t -> 2 * (((strpos('0123456789abcdef',
+                             substr(md5(t), 16 - (i // 4), 1)) - 1)
+                     >> (i % 4)) & 1) - 1))),
+      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END) AS bits
+  FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(list_sum([abs(a.bits[j] - b.bits[j])
+                      for j in generate_series(1, 64)]) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE list_sum([abs(a.bits[j] - b.bits[j])
+                for j in generate_series(1, 64)]) <= 3
+""",
+)
 def d_simhash_pairs(spark, sf_dir):
+    # the engine's Arrow-batched simhash + pigeonhole chunk blocking vs
+    # an exhaustive all-pairs DuckDB replay of the same md5 bit votes
+    # (blocking on 16-bit chunks is COMPLETE for hamming <= 3, so the
+    # blocked and all-pairs row sets coincide exactly)
     from hdfs_anomaly_detection_spark.operators import simhash_candidate_pairs
 
     return simhash_candidate_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
@@ -732,7 +808,41 @@ def s_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
-@register("s_lsh_topk")  # rows-only: hyperplane signatures aren't in DuckDB
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB replay of the 6-plane LSH probe: the seeded hyperplanes
+    are tiny float literals, so the signature (sign of v . plane_i,
+    packed) and the hamming <= 1 multi-probe are plain SQL."""
+    from hdfs_anomaly_detection_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, seed=42)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+    def sig(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, lit in enumerate(lits)
+        )
+
+    return f"""
+WITH q AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT qv, {sig('qv')} AS qsig FROM q),
+s AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+         {sig('cast(embedding AS DOUBLE[])')} AS sig
+  FROM embeddings
+),
+probe AS (
+  SELECT s.vec_id, round(list_cosine_similarity(s.v, qs.qv), 4) AS sim
+  FROM s, qs
+  WHERE bit_count(xor(cast(s.sig AS BIGINT), cast(qs.qsig AS BIGINT))) <= 1
+)
+SELECT vec_id, sim, rk FROM (
+  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk FROM probe
+) t WHERE rk <= 10
+"""
+
+
+@register("s_lsh_topk", _lsh_topk_oracle_sql())
 def s_lsh_topk(spark, sf_dir):
     from hdfs_anomaly_detection_spark.operators import lsh_bucketed_topk
 
@@ -841,6 +951,63 @@ def q_deterministic_sample(spark, sf_dir):
     return ev.filter(frac < "10").select("event_id", "event_type")
 
 
+# deterministic hash-uniform shared by the sampling oracles:
+# first 8 hex chars of md5(orderkey||linenumber) scaled to [0,1)
+_U01 = (
+    "('0x' || substr(md5(cast(l_orderkey AS VARCHAR) || cast(l_linenumber AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE {_U01} < CASE l_returnflag WHEN 'A' THEN 0.1 WHEN 'N' THEN 0.05
+                                 WHEN 'R' THEN 0.2 ELSE 0.0 END
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    # stratified per-class sampling at controlled rates
+    # (hdfs_line_level_loader_v2.py:175-187 normal/anomaly fractions,
+    # random_state=42); hash-gated so the sample is cluster-stable and
+    # the oracle replays the exact draw
+    from hdfs_anomaly_detection_spark.operators import stratified_sample_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return stratified_sample_hash(
+        li,
+        "l_returnflag",
+        {"A": 0.1, "N": 0.05, "R": 0.2},
+        key_cols=("l_orderkey", "l_linenumber"),
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register(
+    "q_rebalance_downsample",
+    f"""
+WITH c AS (SELECT l_returnflag AS s, count(*) AS n FROM lineitem GROUP BY 1),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT t.l_returnflag, count(*) AS n_kept
+FROM lineitem t JOIN c ON c.s = t.l_returnflag CROSS JOIN m
+WHERE {_U01} < least(1.0, 0.5 * m.mn / c.n)
+GROUP BY t.l_returnflag
+""",
+)
+def q_rebalance_downsample(spark, sf_dir):
+    # majority-class downsampling to target_ratio x min-class count
+    # (train_line_level_ensemble_v1.py:100-121); deterministic hash gate,
+    # so the oracle recomputes the same per-class fractions in SQL
+    from hdfs_anomaly_detection_spark.operators import rebalance_downsample
+
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = rebalance_downsample(
+        li, "l_returnflag", key_cols=("l_orderkey", "l_linenumber"), target_ratio=0.5
+    )
+    return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 @register(
     "q_latest_per_group",
     """
@@ -890,6 +1057,65 @@ def s_embedding_norm_stats(spark, sf_dir):
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+# shared DuckDB derivation of per-label centroids + per-vector distances
+_CENTROID_CTE = """
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (
+  SELECT label, g.i AS i, avg(v[g.i]) AS m
+  FROM e, generate_series(1, 64) AS g(i)
+  GROUP BY label, g.i
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         sqrt(sum((e.v[g.i] - c.m) * (e.v[g.i] - c.m))) AS dist
+  FROM e, generate_series(1, 64) AS g(i)
+  JOIN c ON c.label = e.label AND c.i = g.i
+  GROUP BY e.vec_id, e.label
+)
+"""
+
+
+@register(
+    "s_centroid_stats",
+    _CENTROID_CTE
+    + """
+SELECT label, count(*) AS n, round(avg(dist), 4) AS avg_dist,
+       round(max(dist), 4) AS max_dist
+FROM d GROUP BY label
+""",
+)
+def s_centroid_stats(spark, sf_dir):
+    # per-class centroid + dispersion (analyze_embeddings.py:191-200):
+    # np.mean/np.linalg.norm re-expressed as posexplode-avg + a broadcast
+    # zip_with distance — no driver-side matrix
+    from hdfs_anomaly_detection_spark.stats import centroid_spread_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_spread_stats(emb)
+
+
+@register(
+    "s_centroid_outliers",
+    _CENTROID_CTE
+    + """
+SELECT label, vec_id, round(dist, 6) AS dist, rk FROM (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY round(dist, 6) DESC, vec_id) AS rk
+  FROM d
+) t WHERE rk <= 3
+""",
+)
+def s_centroid_outliers(spark, sf_dir):
+    # top-k farthest-from-centroid outliers per class
+    # (analyze_embeddings.py:202-209 argsort tail); distances rounded to
+    # 6 digits BEFORE ranking so the order is summation-order-stable
+    from hdfs_anomaly_detection_spark.stats import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, k=3)
 
 
 @register(
@@ -976,7 +1202,11 @@ FROM supplier
 """,
 )
 def q_rank_suppliers(spark, sf_dir):
-    # model-ranking table (train_line_level_ensemble_v2.py:536-546)
+    # model-ranking table (train_line_level_ensemble_v2.py:536-546).
+    # NOTE small-table-only: a global rank() window moves every row to
+    # one task — fine for the supplier-sized dims it mirrors (the ranked
+    # entity is "models", cardinality ~10s); for large tables use the
+    # two-stage top-k in operators/similarity.py instead
     s = load_table(spark, sf_dir, "supplier")
     w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return s.select("s_suppkey", "s_name", F.rank().over(w).alias("rk"))
