@@ -1,7 +1,12 @@
 from hdfs_anomaly_detection_spark.streaming.validate_stream import (  # noqa: F401
     STREAM_SAFE_TYPES,
+    TRANSCRIPT_VALUE_DDL,
+    flatten_kafka_value,
+    foreach_batch_validator,
+    kafka_sink_writer,
+    kafka_stream_reader,
+    kafka_transcript_stream,
     stream_checks,
     streaming_violations,
     windowed_violation_counts,
-    foreach_batch_validator,
 )

@@ -105,6 +105,103 @@ def windowed_violation_counts(
     )
 
 
+# ---------------------------------------------------------------- kafka path
+
+# the transcripts event payload carried in the kafka value
+# (spark_job.py:57-66 defines the reference's raw-message schema)
+TRANSCRIPT_VALUE_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def kafka_stream_reader(
+    spark,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Configured kafka-format ``readStream`` (call ``.load()`` on it).
+
+    Reproduces the reference's source config
+    (``cloud-deployment/spark_job.py:72-79``: bootstrap servers,
+    subscribe, startingOffsets, failOnDataLoss=false) plus
+    ``maxOffsetsPerTrigger`` — the backpressure knob the reference
+    lacks (its restarts re-read whatever the consumer group lost).
+    Needs the ``spark-sql-kafka`` runtime jar on the classpath; this
+    sandbox has no broker/jar, so tests pin the config + flatten plan
+    on a kafka-shaped static frame instead."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return r
+
+
+def flatten_kafka_value(
+    df: DataFrame, value_ddl: str = TRANSCRIPT_VALUE_DDL
+) -> DataFrame:
+    """kafka wire schema (key/value binary, topic, partition, offset,
+    timestamp) → typed transcript columns via ``from_json``, keeping
+    provenance columns and an explicit ``_corrupt`` flag where the
+    reference silently dropped unparseable messages
+    (``spark_job.py:92-103`` from_json → filter isNotNull)."""
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for
+    # garbage, so corruption is detected via columnNameOfCorruptRecord
+    j = F.from_json(
+        F.col("value").cast("string"),
+        f"{value_ddl}, _corrupt_record string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    fields = [f.split()[0] for f in value_ddl.split(",")]
+    return df.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+        j.alias("__j"),
+    ).select(
+        "kafka_key", "topic", "partition", "offset", "kafka_ts",
+        *[F.col(f"__j.{f}").alias(f) for f in fields],
+        F.col("__j._corrupt_record").isNotNull().alias("_corrupt"),
+    )
+
+
+def kafka_transcript_stream(
+    spark, brokers: str, topic: str, value_ddl: str = TRANSCRIPT_VALUE_DDL, **reader_kwargs
+) -> DataFrame:
+    """End-to-end kafka source: configured reader → load → flatten.
+    The returned unbounded frame feeds ``streaming_violations`` /
+    ``windowed_violation_counts`` exactly like the file stream."""
+    raw = kafka_stream_reader(spark, brokers, topic, **reader_kwargs).load()
+    return flatten_kafka_value(raw, value_ddl)
+
+
+def kafka_sink_writer(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Configured kafka-format ``writeStream`` (call ``.start()`` on it):
+    rows serialized to JSON in ``value``, keyed by conv_id — the
+    reference's producer path
+    (``hdfs_production_log_processor.py:334-349``) as a declarative
+    sink. Checkpointed, so the producer is exactly-once per epoch
+    rather than the reference's fire-and-forget."""
+    out = df.select(
+        F.col("conv_id").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def foreach_batch_validator(job) -> callable:
     """foreachBatch hook running the FULL batch validation (uniqueness,
     ordering, drift) per epoch through a manifest-checkpointed

@@ -103,6 +103,94 @@ def test_stream_checks_filters_unsafe(spark):
     assert "not_null_text" in names
 
 
+def test_kafka_value_flatten_plan(spark):
+    """The kafka from_json flatten compiles and runs on a kafka-shaped
+    frame (key/value binary + provenance columns): valid JSON parses to
+    typed columns, garbage is FLAGGED not dropped (spark_job.py:92-103
+    silently filtered nulls)."""
+    import json
+
+    from hdfs_anomaly_detection_spark.streaming import flatten_kafka_value
+
+    good = json.dumps(
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hi", "tool": None, "ts": "2025-01-01T00:00:00Z"}
+    )
+    rows = [
+        (b"c1", good.encode(), "transcripts", 0, 0, "2025-01-01T00:00:01Z"),
+        (b"c2", b"{not json", "transcripts", 1, 7, "2025-01-01T00:00:02Z"),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    got = flatten_kafka_value(raw).toPandas().sort_values("offset")
+    assert list(got.columns) == [
+        "kafka_key", "topic", "partition", "offset", "kafka_ts",
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "_corrupt",
+    ]
+    ok = got.iloc[0]
+    assert ok["conv_id"] == "c1" and ok["turn_idx"] == 0 and not ok["_corrupt"]
+    bad = got.iloc[1]
+    assert bad["_corrupt"] and bad["conv_id"] is None and bad["offset"] == 7
+
+
+def test_kafka_reader_config_compiles(spark):
+    """No broker/jar in the sandbox: assert the configured reader is
+    accepted up to .load(), which must fail on the MISSING KAFKA
+    DATA SOURCE (proving format/options reached the planner), never on
+    our option plumbing."""
+    from hdfs_anomaly_detection_spark.streaming import kafka_stream_reader
+
+    reader = kafka_stream_reader(
+        spark, "broker:9092", "transcripts",
+        starting_offsets="earliest", max_offsets_per_trigger=10_000,
+    )
+    with pytest.raises(Exception) as ei:
+        reader.load()
+    assert "kafka" in str(ei.value).lower()
+
+
+def test_kafka_sink_writer_config(spark, staged):
+    """Sink path: JSON-serialized value keyed by conv_id; config is
+    accepted up to .start() which fails on the missing kafka source."""
+    from hdfs_anomaly_detection_spark.streaming import kafka_sink_writer
+
+    fx, path = staged
+    stream = spark.readStream.schema(fx.fact.schema).parquet(path)
+    writer = kafka_sink_writer(stream, "broker:9092", "violations", "/tmp/ck")
+    with pytest.raises(Exception) as ei:
+        writer.start()
+    assert "kafka" in str(ei.value).lower()
+
+
+def test_max_files_per_trigger_paces_batches(spark, staged):
+    """Backpressure demo: maxFilesPerTrigger=1 over a multi-file input
+    produces multiple micro-batches instead of one big gulp."""
+    fx, path = staged
+    multi = str(path) + "_multi"
+    fx.fact.repartition(4).write.mode("overwrite").parquet(multi)
+    stream = (
+        spark.readStream.schema(fx.fact.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    q = (
+        stream.groupBy().count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("paced")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    finally:
+        q.stop()
+    assert batches >= 4
+
+
 def test_foreach_batch_full_validation(spark, staged, tmp_path):
     fx, path = staged
     job = ValidationJob(
