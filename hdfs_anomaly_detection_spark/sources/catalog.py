@@ -63,11 +63,19 @@ class TableCatalog:
                 w = w.partitionBy(*partition_by)
             w.parquet(self._path(name))
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        """``partition_by`` matters only for the parquet backend, which
+        has no table spec to consult: appends into a partitioned layout
+        MUST restate it or the new files land unpartitioned at the table
+        root (silently skewing later partition-pruned reads). Iceberg
+        ignores it — the table's own spec governs appends."""
         if self.use_iceberg:
             df.writeTo(f"{self.catalog}.{name}").append()
         else:
-            df.write.mode("append").parquet(self._path(name))
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._path(name))
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:

@@ -85,3 +85,14 @@ def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
     fan-in via coalesce — at scale leave None (one file per task)."""
     w = df.coalesce(n_files) if n_files else df
     w.write.mode("overwrite").json(path)
+
+
+def write_csv_results(
+    df: DataFrame, path: str, n_files: int | None = 1, header: bool = True
+) -> None:
+    """CSV results sink (``evaluation/anomaly_evaluation.py:356-414``
+    writes per-example verdict rows to a results CSV). Defaults to one
+    output file — results tables are small aggregates; pass
+    ``n_files=None`` for one file per task when the frame is large."""
+    w = df.coalesce(n_files) if n_files else df
+    w.write.mode("overwrite").option("header", str(header).lower()).csv(path)

@@ -55,3 +55,23 @@ def test_csv_corrupt_rows_flagged(spark, tmp_path):
     res = read_csv(spark, p, "a int, b int")
     assert res.good.count() == 1
     assert res.corrupt.count() == 1
+
+
+def test_csv_results_sink_roundtrip(spark, tmp_path):
+    from hdfs_anomaly_detection_spark.sources.ingest import read_csv, write_csv_results
+
+    df = spark.createDataFrame(
+        [(0, "not_null_text", 3, False), (1, "not_null_text", 0, True)],
+        "part_id int, check_id string, n_violations int, passed boolean",
+    )
+    out = str(tmp_path / "results_csv")
+    write_csv_results(df, out)
+    back = read_csv(
+        spark, out, "part_id int, check_id string, n_violations int, passed boolean"
+    )
+    assert back.corrupt.count() == 0
+    rows = {r["part_id"]: r["n_violations"] for r in back.good.collect()}
+    assert rows == {0: 3, 1: 0}
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.csv")) == 1  # coalesced results file
