@@ -145,8 +145,13 @@ def _run_sub(cpus: int, cache: str, control: bool = False) -> dict:
     env = {**os.environ, "PYTHONPATH": REPO,
            "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")}
     out = subprocess.run(args, capture_output=True, text=True, env=env, timeout=3600)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling trial subprocess failed (cpus={cpus}, control={control}, "
+            f"rc={out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
