@@ -1059,6 +1059,24 @@ def s_embedding_norm_stats(spark, sf_dir):
     )
 
 
+@register("m_media_features")  # rows-only: BMP/WAV binary decode isn't SQL
+def m_media_features(spark, sf_dir):
+    # multimodal decode + featurize: REAL BMP/WAV decoders (pure
+    # NumPy/stdlib) inside mapInPandas; video falls back to the
+    # documented stub with decoded=false. Deterministic synthesis, so
+    # the row count and schema are stable for the driver's weak check.
+    from hdfs_anomaly_detection_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=120)
+    return extract_features(media).select(
+        "media_id", "kind", "codec", "n_bytes", "width", "height",
+        "n_samples", "sample_rate", "decoded",
+    )
+
+
 # shared DuckDB derivation of per-label centroids + per-vector distances
 _CENTROID_CTE = """
 WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
