@@ -17,5 +17,7 @@ from hdfs_anomaly_detection_spark.operators.similarity import (  # noqa: F401
     cosine_sim_expr,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_index,
+    ivf_topk,
     lsh_bucketed_topk,
 )
