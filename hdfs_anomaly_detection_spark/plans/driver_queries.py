@@ -808,6 +808,35 @@ def s_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
+@register(
+    "s_ivf_topk",
+    """
+WITH q AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(cast(embedding AS DOUBLE[]), qv), 4) AS sim
+  FROM embeddings, q
+)
+SELECT vec_id, sim, rk FROM (
+  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk FROM scored
+) t WHERE rk <= 10
+""",
+)
+def s_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantizer ANN. Probing every cell (nprobe = n_centroids)
+    # is EXACTLY brute force, which is what the oracle checks — it proves
+    # the k-means assignment + cell-probe plumbing loses no vectors; the
+    # recall/efficiency trade at nprobe < n_centroids is pinned by
+    # tests/test_similarity.py instead (k-means isn't SQL-replayable).
+    from hdfs_anomaly_detection_spark.operators import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(
+        emb, [float(x) for x in qvec], k=10, n_centroids=8, nprobe=8
+    )
+
+
 def _lsh_topk_oracle_sql() -> str:
     """DuckDB replay of the 6-plane LSH probe: the seeded hyperplanes
     are tiny float literals, so the signature (sign of v . plane_i,
@@ -1006,6 +1035,52 @@ def q_rebalance_downsample(spark, sf_dir):
         li, "l_returnflag", key_cols=("l_orderkey", "l_linenumber"), target_ratio=0.5
     )
     return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "q_session_agg",
+    """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, cast(min(ts) AS STRING) AS session_start,
+       count(*) AS n_events,
+       cast(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_sec
+FROM s GROUP BY user_id, sid
+""",
+)
+def q_session_agg(spark, sf_dir):
+    # gap-based sessionization via the built-in session_window (the
+    # generalization of the reference's per-conversation grouping /
+    # hourly buckets, grafana_test_queries.sql:100-110): a session
+    # extends while the next event starts < gap after the previous one.
+    # The oracle derives identical sessions with lag + running sum.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("__mn"),
+            F.max("ts").alias("__mx"),
+        )
+        .select(
+            "user_id",
+            F.col("__mn").cast("string").alias("session_start"),
+            "n_events",
+            (F.unix_timestamp("__mx") - F.unix_timestamp("__mn")).alias("dur_sec"),
+        )
+    )
 
 
 @register(

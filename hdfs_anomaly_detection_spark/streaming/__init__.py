@@ -1,6 +1,7 @@
 from hdfs_anomaly_detection_spark.streaming.validate_stream import (  # noqa: F401
     STREAM_SAFE_TYPES,
     TRANSCRIPT_VALUE_DDL,
+    dedup_stream,
     flatten_kafka_value,
     foreach_batch_validator,
     kafka_sink_writer,

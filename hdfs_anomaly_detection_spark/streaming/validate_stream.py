@@ -105,6 +105,24 @@ def windowed_violation_counts(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state is O(keys-per-watermark-window), not
+    O(stream) — the streaming analogue of the batch keep-first dedup
+    (``operators/dedup.py``; reference skip-if-seen cache,
+    ``anomaly_detection_service.py:668-678``, whose dict grows without
+    bound)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # ---------------------------------------------------------------- kafka path
 
 # the transcripts event payload carried in the kafka value

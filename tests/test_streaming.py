@@ -103,6 +103,35 @@ def test_stream_checks_filters_unsafe(spark):
     assert "not_null_text" in names
 
 
+def test_dedup_stream_drops_duplicate_keys(spark, tmp_path):
+    """Streaming exact dedup with bounded state: duplicate
+    (conv_id, turn_idx) rows injected by the fixture never reach the
+    sink; state expires with the watermark."""
+    from hdfs_anomaly_detection_spark.streaming import dedup_stream
+
+    cfg = FixtureConfig(n_conversations=80, dup_rate=0.05)
+    fx = build_fixture(spark, cfg)
+    path = str(tmp_path / "dup_stream")
+    fx.fact.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(fx.fact.schema).parquet(path)
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT conv_id, turn_idx FROM deduped").toPandas()
+    pdf = fx.fact.toPandas()
+    assert pdf.duplicated(["conv_id", "turn_idx"]).sum() > 0  # fixture has dups
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert len(got) == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
+
+
 def test_kafka_value_flatten_plan(spark):
     """The kafka from_json flatten compiles and runs on a kafka-shaped
     frame (key/value binary + provenance columns): valid JSON parses to
