@@ -97,6 +97,7 @@ def run_validation(spark, paths) -> tuple[float, int, int]:
     n_violations = res.violations.count()
     res.verdicts.collect()
     elapsed = time.time() - t0
+    res.unpersist()
     n_rows = fact.count()
     return elapsed, n_rows, n_violations
 

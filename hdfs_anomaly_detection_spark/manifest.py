@@ -171,6 +171,9 @@ class ValidationJob:
         spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
             self.manifest_path
         )
+        # both outputs are materialized above; release the runner's cached
+        # narrow frame so per-epoch foreachBatch runs don't accumulate cache
+        res.unpersist()
         return {
             "run_id": run_id, "fingerprint": fp, "planned": len(planned),
             "skipped": len(done), "processed": len(pending),
