@@ -17,8 +17,9 @@ Plan shape (scale rationale):
   all ride that single exchange (subset co-partitioning) — in the
   clustered plan the fact table is scanned exactly once per run, with
   the persisted narrow frame (~50 B/row) feeding every output.
-  (Freshness still aggregates ts from its own pruned scan unless ``ts``
-  is carried into the narrow frame via a check or ``carry_cols``.)
+  Freshness also aggregates from the narrow frame when its ts column
+  rides it (true for the standard suite via MonotonicOrder's tiebreak);
+  otherwise it falls back to a pruned ts scan.
 * Uniqueness without clustering runs as a salted two-phase aggregation
   (partial counts per input split → final merge), so a hot
   (conv_id, turn_idx) key never concentrates on one reducer; with
@@ -445,9 +446,9 @@ class ValidationRunner:
           (MEMORY_AND_DISK; ~50 B/row). Row violations (explode),
           uniqueness counts (partition-local — the frame is already
           hash-partitioned on the cluster key), per-partition row
-          counts and drift-metric digests are all derived from it: the
-          fact table is scanned exactly once per run. (Freshness is the
-          one check that still aggregates from its own pruned ts scan.)
+          counts, drift-metric digests and freshness max-ts aggregates
+          (when ts rides the frame) are all derived from it: the fact
+          table is scanned exactly once per run.
         * unclustered plan: the (much smaller) violations frame is
           persisted and uniqueness/row counts re-scan fact with pruned
           columns; a Drift check still forces the narrow-frame cache so
@@ -539,20 +540,25 @@ class ValidationRunner:
                 )
             )
 
-        # per-partition freshness verdicts (tiny max-ts aggregate)
+        # per-partition freshness verdicts (tiny max-ts aggregate) — from
+        # the persisted narrow frame whenever ts already rides it (it
+        # does for the standard suite: MonotonicOrder's tiebreak carries
+        # ts), else a pruned fact scan
         fresh_checks = dsl.of_type(self.checks, Freshness)
         if fresh_checks:
             import time as _time
 
-            pid = self.pid_expr().alias("part_id")
             for chk in fresh_checks:
                 as_of = chk.as_of if chk.as_of is not None else int(_time.time())
                 lag = (F.lit(as_of) - F.unix_timestamp(F.max(F.col(chk.ts_col)))).cast(
                     "double"
                 )
+                if reuse and chk.ts_col in flagged.columns:
+                    grouped = flagged.groupBy("part_id")
+                else:
+                    grouped = fact.groupBy(self.pid_expr().alias("part_id"))
                 fv = (
-                    fact.groupBy(pid)
-                    .agg(lag.alias("statistic"))
+                    grouped.agg(lag.alias("statistic"))
                     .select(
                         "part_id",
                         F.lit(chk.name).alias("check_id"),

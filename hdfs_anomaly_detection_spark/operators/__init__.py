@@ -9,6 +9,8 @@ from hdfs_anomaly_detection_spark.operators.dedup import (  # noqa: F401
 )
 from hdfs_anomaly_detection_spark.operators.sampling import (  # noqa: F401
     rebalance_downsample,
+    seeded_shard,
+    seeded_shuffle_key,
     stratified_sample,
     stratified_sample_hash,
     uniform01,

@@ -71,6 +71,43 @@ def stratified_sample_hash(
     return df.filter(u < frac)
 
 
+def seeded_shuffle_key(key_cols: tuple[str, ...], seed: int = 42) -> Column:
+    """Deterministic shuffle ORDER KEY: ``md5(keys || seed)`` — the
+    distributed analogue of the reference's ``df.sample(frac=1,
+    random_state=42)`` epoch shuffle
+    (``train_line_level_ensemble_v1.py:97``). The permutation is a pure
+    function of the data + seed (cluster-stable).
+
+    Deliberately NOT a global contiguous rank: a global ``row_number``
+    window moves every row to one task. ``orderBy(key)`` gives a
+    distributed range-partitioned sort, and shard boundaries come from
+    hash BANDS (``seeded_shard``) rather than rank ranges."""
+    return F.md5(
+        F.concat_ws(
+            "", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+
+
+def seeded_shard(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    shard: int,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Shard ``shard``/``n_shards`` of the seeded permutation, selected
+    by uniform hash band — a map-only filter (no sort, no shuffle), so a
+    training loader can pull epoch shards independently at any scale."""
+    u = uniform01(
+        F.concat_ws(
+            "", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+    lo, hi = shard / n_shards, (shard + 1) / n_shards
+    return df.filter((u >= F.lit(lo)) & (u < F.lit(hi)))
+
+
 def rebalance_downsample(
     df: DataFrame,
     label_col: str,

@@ -980,6 +980,52 @@ def q_deterministic_sample(spark, sf_dir):
     return ev.filter(frac < "10").select("event_id", "event_type")
 
 
+@register(
+    "q_seeded_shuffle",
+    """
+SELECT event_id, rk FROM (
+  SELECT event_id,
+         row_number() OVER (ORDER BY md5(cast(event_id AS VARCHAR) || '42'),
+                            event_id) AS rk
+  FROM events
+) t WHERE rk <= 100
+""",
+)
+def q_seeded_shuffle(spark, sf_dir):
+    # seeded epoch shuffle (train_line_level_ensemble_v1.py:97
+    # sample(frac=1, random_state=42)): deterministic md5(key||seed)
+    # permutation; the head of the permutation via two-stage top-k
+    # (TakeOrderedAndProject), never a global row_number window
+    from hdfs_anomaly_detection_spark.operators import seeded_shuffle_key
+
+    ev = load_table(spark, sf_dir, "events")
+    h = seeded_shuffle_key(("event_id",), seed=42)
+    head = ev.select("event_id", h.alias("__h")).orderBy("__h", "event_id").limit(100)
+    w = Window.orderBy("__h", "event_id")
+    return head.withColumn("rk", F.row_number().over(w)).select("event_id", "rk")
+
+
+@register(
+    "q_seeded_shard",
+    """
+SELECT event_id FROM events
+WHERE ('0x' || substr(md5(cast(event_id AS VARCHAR) || '42'), 1, 8))::BIGINT
+      / 4294967296.0 >= 0.25
+  AND ('0x' || substr(md5(cast(event_id AS VARCHAR) || '42'), 1, 8))::BIGINT
+      / 4294967296.0 < 0.375
+""",
+)
+def q_seeded_shard(spark, sf_dir):
+    # shard 2/8 of the seeded permutation via uniform hash band —
+    # map-only, no sort: how a training loader pulls epoch shards
+    from hdfs_anomaly_detection_spark.operators import seeded_shard
+
+    ev = load_table(spark, sf_dir, "events")
+    return seeded_shard(ev, ("event_id",), shard=2, n_shards=8, seed=42).select(
+        "event_id"
+    )
+
+
 # deterministic hash-uniform shared by the sampling oracles:
 # first 8 hex chars of md5(orderkey||linenumber) scaled to [0,1)
 _U01 = (

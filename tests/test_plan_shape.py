@@ -92,11 +92,18 @@ def test_drift_rides_narrow_frame(spark, tmp_path, monkeypatch):
         raise AssertionError("Drift re-scanned fact (metric_frame fallback used)")
 
     monkeypatch.setattr(drift_mod, "metric_frame", poisoned)
+    from hdfs_anomaly_detection_spark.constraints import Freshness
+    from hdfs_anomaly_detection_spark.fixtures import EPOCH_BASE
+
     runner = ValidationRunner(
         default_transcript_checks(dims=False)
         + [
             Drift("drift_len", metric="text_length", method="ks", threshold=0.2),
             Drift("drift_turns", metric="turn_count", method="psi", threshold=0.25),
+            # ts rides the narrow frame (MonotonicOrder tiebreak), so the
+            # freshness max-ts aggregate must come from the cache too
+            Freshness("fresh", ts_col="ts", max_age_seconds=10**9,
+                      as_of=EPOCH_BASE + 10**6),
         ],
         n_buckets=8,
         baselines=baselines,
@@ -112,6 +119,9 @@ def test_drift_rides_narrow_frame(spark, tmp_path, monkeypatch):
     drift_rows = verd[verd["check_id"].isin(["drift_len", "drift_turns"])]
     # same data as baseline ⇒ KS/PSI ≈ 0 ⇒ all drift verdicts pass
     assert len(drift_rows) > 0 and drift_rows["passed"].all()
+    fresh = verd[verd["check_id"] == "fresh"]
+    assert len(fresh) > 0 and fresh["passed"].all()
+    assert (fresh["statistic"] > 0).all()  # staleness vs fixed as_of
     res.unpersist()
 
 
