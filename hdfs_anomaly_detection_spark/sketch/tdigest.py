@@ -112,7 +112,10 @@ class TDigest:
         cum = np.cumsum(self.weights) - self.weights / 2.0
         pts = np.concatenate(([self.vmin], self.means, [self.vmax]))
         cdf = np.concatenate(([0.0], cum / total, [1.0]))
-        return np.interp(xs, pts, cdf, left=0.0, right=1.0)
+        out = np.interp(xs, pts, cdf, left=0.0, right=1.0)
+        # subnormal centroid spacing can overflow interp's slope to
+        # +/-inf (hypothesis-found); a CDF is always within [0, 1]
+        return np.clip(np.nan_to_num(out, nan=0.5, posinf=1.0, neginf=0.0), 0.0, 1.0)
 
     def quantile(self, qs: np.ndarray) -> np.ndarray:
         if self.n == 0:

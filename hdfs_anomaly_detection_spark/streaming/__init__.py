@@ -11,3 +11,7 @@ from hdfs_anomaly_detection_spark.streaming.validate_stream import (  # noqa: F4
     streaming_violations,
     windowed_violation_counts,
 )
+from hdfs_anomaly_detection_spark.streaming.stateful import (  # noqa: F401
+    ORDER_VIOLATION_SCHEMA,
+    stateful_order_violations,
+)

@@ -132,6 +132,46 @@ def test_dedup_stream_drops_duplicate_keys(spark, tmp_path):
     assert len(got) == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
 
 
+def test_stateful_order_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps the last-seen turn_idx per
+    conversation in the state store: a gap spanning a micro-batch
+    boundary (batch 1 ends at turn 2, batch 2 starts at turn 4) is
+    caught — impossible for per-epoch batch windows."""
+    import datetime
+    import time as _t
+
+    from hdfs_anomaly_detection_spark.streaming import stateful_order_violations
+
+    path, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    ts = datetime.datetime(2025, 1, 1)
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    batch1 = [("c1", 0, ts), ("c1", 1, ts), ("c1", 2, ts), ("c2", 0, ts)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(path)
+    _t.sleep(1.2)  # distinct mtimes => deterministic batch order
+    batch2 = [("c1", 4, ts), ("c2", 1, ts)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        stateful_order_violations(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ordviol")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ordviol").toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["conv_id"], r["turn_idx"], r["prev_idx"]) == ("c1", 4, 2)
+
+
 def test_kafka_value_flatten_plan(spark):
     """The kafka from_json flatten compiles and runs on a kafka-shaped
     frame (key/value binary + provenance columns): valid JSON parses to
