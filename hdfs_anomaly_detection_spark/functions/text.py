@@ -107,6 +107,55 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+    dialect_common: bool = False,
+):
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    char k-gram (rolling across the doc), then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive k-grams — a position-
+    robust fingerprint set that overlaps for documents sharing any
+    run >= k+window-1 chars. Returns (id, fp bigint) exploded, distinct
+    per doc.
+
+    All Catalyst: substring k-grams + hash inside one transform, window
+    minima via slice/array_min over a pre-bound hash array (projection
+    boundary — see ``operators/dedup.shingle_frame`` for the inlining
+    trap). ``dialect_common=True`` uses the md5-hex-prefix hash a SQL
+    oracle can replay; default xxhash64 is ~3x faster for production.
+
+    Reference analogue: whole-doc md5 keying
+    (``anomaly_detection_service.py:269-271``) — winnowing generalizes
+    it to partial-overlap detection."""
+    c = F.col(text_col)
+    t = F.lower(c)
+    if dialect_common:
+        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    else:
+        gram_hash = F.xxhash64  # noqa: E731
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    kh = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.substring(t, i, k))
+    )
+    base = df.filter(c.isNotNull()).select(F.col(id_col).alias("id"), kh.alias("__kh"))
+    h = F.col("__kh")
+    m = F.size(h)
+    fps = F.when(
+        m >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - (window - 1)),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(h)))
+    return base.select("id", F.explode(fps).alias("fp"))
+
+
 def doc_fingerprint(col: Column | str, canonical: bool = True) -> Column:
     """64-bit content fingerprint of the (canonicalized) text — the
     dedup/cache key (reference: md5 keying,

@@ -981,6 +981,40 @@ def t_quality_score(spark, sf_dir):
 
 
 @register(
+    "t_winnow_fingerprints",
+    """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE doc_id % 10 = 0 AND text IS NOT NULL
+),
+kh AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT
+          for i in generate_series(1, greatest(length(t) - 7, 1))] AS h
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 16
+              THEN list_distinct([list_min(h[j:j+15])
+                                  for j in generate_series(1, len(h) - 15)])
+              ELSE [list_min(h)] END AS fps
+  FROM kh
+)
+SELECT doc_id AS id, unnest(fps) AS fp FROM fp
+""",
+)
+def t_winnow_fingerprints(spark, sf_dir):
+    # rolling-hash winnowing fingerprints (char 8-grams, window 16):
+    # position-robust partial-overlap detection, the generalization of
+    # the reference's whole-doc md5 cache key
+    from hdfs_anomaly_detection_spark.functions.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return winnow_fingerprints(d, k=8, window=16, dialect_common=True)
+
+
+@register(
     "q_deterministic_sample",
     """
 SELECT event_id, event_type FROM events

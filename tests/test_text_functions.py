@@ -70,3 +70,38 @@ def test_doc_fingerprint_canonical_equivalence(run_expr):
     b = run_expr(doc_fingerprint("t"), "Sent 999 bytes at 2023-05-06 07:08:09")
     c = run_expr(doc_fingerprint("t"), "something entirely different")
     assert a == b != c
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    import hashlib
+
+    from hdfs_anomaly_detection_spark.functions.text import winnow_fingerprints
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "completely different content with no overlap whatsoever in this text"),
+        (3, "zz The quick brown fox jumps over the lazy dog near the river bank yy"),
+        (4, "tiny"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=8, window=16, dialect_common=True).toPandas()
+
+    def py_winnow(text, k=8, window=16):
+        t = text.lower()
+        n = max(len(t) - (k - 1), 1)
+        h = [int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16) for i in range(n)]
+        if len(h) >= window:
+            return {min(h[j : j + window]) for j in range(len(h) - window + 1)}
+        return {min(h)}
+
+    for did, text in docs:
+        expected = py_winnow(text)
+        actual = set(got[got["id"] == did]["fp"])
+        assert actual == expected, f"doc {did}"
+    # overlap property: docs 1 and 3 share a long run => share fingerprints;
+    # doc 2 shares none with doc 1
+    f1 = set(got[got["id"] == 1]["fp"])
+    f2 = set(got[got["id"] == 2]["fp"])
+    f3 = set(got[got["id"] == 3]["fp"])
+    assert f1 & f3 and not f1 & f2
