@@ -123,15 +123,31 @@ def minhash_features(
     return base.join(_sig_frame(base, n_hashes), "id").select("id", "sh", "sig")
 
 
-def _sig_frame(base: DataFrame, n_hashes: int) -> DataFrame:
-    """(id, sig) from a (id, sh) frame via explode + partial-min agg."""
+def _md5_prefix_hash(c: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint — the dialect-common hash a
+    SQL oracle can replay (('0x'||substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def _sig_frame(base: DataFrame, n_hashes: int, dialect_common: bool = False) -> DataFrame:
+    """(id, sig) from a (id, sh) frame via explode + partial-min agg.
+
+    ``dialect_common=True`` swaps xxhash64 for md5-prefix hashes (gram:
+    md5(shingle); family member i: md5(str(gram_hash) || '_' || i)) so
+    the full signature is SQL-replayable; xxhash64 stays the fast
+    default for production."""
+    if dialect_common:
+        gram = _md5_prefix_hash(F.col("__s"))
+        mix = lambda h, i: _md5_prefix_hash(  # noqa: E731
+            F.concat(h.cast("string"), F.lit("_"), F.lit(str(i)))
+        )
+    else:
+        gram = F.xxhash64("__s")
+        mix = lambda h, i: F.xxhash64(h, F.lit(i))  # noqa: E731
     hashed = base.select("id", F.explode("sh").alias("__s")).select(
-        "id", F.xxhash64("__s").alias("__h")
+        "id", gram.alias("__h")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-        for i in range(n_hashes)
-    ]
+    mins = [F.min(mix(F.col("__h"), i)).alias(f"__m{i}") for i in range(n_hashes)]
     return (
         hashed.groupBy("id")
         .agg(*mins)
@@ -147,10 +163,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 64,
     shingle_k: int = 3,
+    dialect_common: bool = False,
 ) -> DataFrame:
     """(id, sig array<bigint>) — see ``minhash_features`` (no shingle
     payload and no join: just the explode+agg signature build)."""
-    return _sig_frame(shingle_frame(df, text_col, id_col, shingle_k), n_hashes)
+    return _sig_frame(
+        shingle_frame(df, text_col, id_col, shingle_k), n_hashes, dialect_common
+    )
 
 
 def minhash_lsh_candidate_pairs(

@@ -694,8 +694,53 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@register("d_minhash_lsh_pairs")  # rows-only: xxhash64 minhashes aren't in DuckDB
+@register(
+    "d_minhash_lsh_pairs",
+    DOCS_CTE
+    + r"""
+, tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM docs WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in generate_series(1, len(w) - 2)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM tok
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+  FROM sh
+),
+sig AS (
+  -- minhash family member i = min over shingle-hashes h of
+  -- md5-prefix(str(h) || '_' || i); identical construction to the
+  -- engine's dialect_common signature path
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           i -> list_min(list_transform(hs,
+             h -> ('0x' || substr(md5(cast(h AS VARCHAR) || '_'
+                                      || cast(i AS VARCHAR)), 1, 8))::BIGINT))) AS sig
+  FROM hs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(generate_series(1, 64), i -> a.sig[i] = b.sig[i])) / 64.0
+         AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE len(list_filter(generate_series(1, 16),
+          band -> a.sig[(band-1)*4+1 : band*4] = b.sig[(band-1)*4+1 : band*4])) >= 1
+  AND len(list_filter(generate_series(1, 64), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.6
+""",
+)
 def d_minhash_lsh_pairs(spark, sf_dir):
+    # banded MinHash LSH with the dialect-common md5-prefix hash family,
+    # so the oracle replays signatures, band collisions AND the
+    # est_jaccard values exactly (exhaustive all-pairs on its side; the
+    # engine side only examines banded-bucket collisions — identical
+    # output because banding is exact on signature slices).
     from hdfs_anomaly_detection_spark.operators import (
         minhash_lsh_candidate_pairs,
         minhash_signatures,
@@ -705,7 +750,7 @@ def d_minhash_lsh_pairs(spark, sf_dir):
     # persist + materialize the signatures: banding and the two estimate
     # re-joins all read them; inside one action an unmaterialized cache
     # gets raced and computed per consumer
-    sigs = minhash_signatures(docs).persist()
+    sigs = minhash_signatures(docs, dialect_common=True).persist()
     sigs.count()
     return minhash_lsh_candidate_pairs(docs, verify_threshold=0.6, sigs=sigs)
 
