@@ -169,6 +169,8 @@ def ivf_index(
         .limit(sample_rows)
         .toPandas()[vec_col]
     )
+    if len(samp) == 0:  # empty collection: single trivial cell
+        return np.zeros((0, 0)), emb.withColumn("__cell", F.lit(0).cast("int"))
     sample = np.vstack(samp.map(np.asarray)).astype(float)
     cents = _kmeans_fit(sample, n_centroids, seed=seed)
     return cents, emb.withColumn("__cell", ivf_cell_expr(vec_col, cents))
@@ -190,6 +192,8 @@ def ivf_topk(
     the oracle checks); smaller nprobe trades recall for a
     partition-pruned probe."""
     cents, assigned = ivf_index(emb, n_centroids, id_col, vec_col, seed=seed)
+    if len(cents) == 0:  # empty collection: nothing to prune
+        return cosine_topk(emb, query_vec, k, id_col, vec_col)
     qv = np.asarray(query_vec, dtype=float)
     order = np.argsort(((cents - qv) ** 2).sum(axis=1))
     cells = [int(c) for c in order[: min(nprobe, len(cents))]]

@@ -113,3 +113,16 @@ def test_embedding_near_dup_pairs(spark, emb):
     expected = {(int(v), int(v) + 10000) for v in pdf["vec_id"] if v % 17 == 0}
     assert expected <= got
     assert (pairs["sim"] >= 0.999).all()
+
+
+def test_edge_empty_and_tiny_inputs(spark, emb):
+    """Empty/degenerate inputs flow through, never crash (the verify
+    probe that keeps finding bugs)."""
+    from hdfs_anomaly_detection_spark.operators import ivf_topk, lsh_bucketed_topk
+
+    df, pdf, mat = emb
+    q = [0.0] * 64
+    assert ivf_topk(df.limit(0), q, k=5, n_centroids=4).count() == 0
+    assert ivf_topk(df.limit(3), q, k=5, n_centroids=8).count() == 3
+    assert cosine_topk(df.limit(0), q, k=5).count() == 0
+    assert lsh_bucketed_topk(df.limit(0), q, k=5).count() == 0
