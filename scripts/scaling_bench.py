@@ -273,7 +273,8 @@ scaling bottleneck beyond the hardware's own ceiling.
 Plan-shape notes (why the job tracks the control):
 * ONE hash(conv_id) exchange of a narrow pre-flagged frame serves the
   reference-equality SMJ, the conversations-dim SMJ, the ordering
-  window, the uniqueness counts, and the per-partition row counts
+  window, the uniqueness counts, the per-partition row counts, the
+  drift-metric digests and the freshness max-ts aggregates
   (subset co-partitioning; the window reuses the SMJ sort) — the fact
   table is scanned exactly once per run.
 * Text payloads never enter a shuffle — canonical xxhash64 is computed
