@@ -87,6 +87,24 @@ def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
     w.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema_ddl: str | None = None) -> DataFrame:
+    """ORC scan (columnar alternative where the lake standardizes on ORC
+    instead of Parquet; schema optional — ORC carries its own). Predicate
+    pushdown and column pruning work the same as the parquet path."""
+    r = spark.read
+    if schema_ddl:
+        r = r.schema(schema_ddl)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink with optional partition layout."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_csv_results(
     df: DataFrame, path: str, n_files: int | None = 1, header: bool = True
 ) -> None:

@@ -75,3 +75,18 @@ def test_csv_results_sink_roundtrip(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/part-*.csv")) == 1  # coalesced results file
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from hdfs_anomaly_detection_spark.sources.ingest import read_orc, write_orc
+
+    df = spark.range(100).selectExpr("id", "id % 5 as grp", "cast(id * 1.5 as double) as v")
+    out = str(tmp_path / "orc_t")
+    write_orc(df, out, partition_by=["grp"])
+    back = read_orc(spark, out)
+    assert back.count() == 100
+    sel = back.filter("grp = 3 and v > 10")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    # partition pruning + predicate pushdown reach the ORC scan
+    assert "PartitionFilters" in plan and "PushedFilters" in plan
+    assert sel.count() == sum(1 for i in range(100) if i % 5 == 3 and i * 1.5 > 10)
