@@ -355,6 +355,24 @@ def q_group_composite(spark, sf_dir):
 
 
 @register(
+    "q_rollup_totals",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def q_rollup_totals(spark, sf_dir):
+    # hierarchical subtotals (status, status+priority, grand total) in
+    # one pass — the reporting-table generalization of the summary
+    # dashboards (grafana_test_queries.sql:326-344 stacked table stats)
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
     "q_time_bucket",
     """
 SELECT cast(date_trunc('hour', ts) AS STRING) AS hour_ts, count(*) AS n,
