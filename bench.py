@@ -120,6 +120,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        driver_queries.release_persisted()
 
     paths = bench_fixture_paths(spark)
     elapsed, n_rows, n_violations = run_validation(spark, paths)

@@ -71,6 +71,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     comp = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        # degenerate headers would yield empty pixel arrays and NaN
+        # features marked decoded=true; raising routes them through
+        # extract_features' fallback (decoded=false) — ADVICE r2
+        raise ValueError(f"degenerate BMP dimensions (w={w}, h={h})")
     row_size = (w * 3 + 3) & ~3
     flip = h > 0
     h = abs(h)

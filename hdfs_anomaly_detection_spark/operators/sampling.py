@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 # 16^8: the hash-uniform resolution (first 8 hex chars of md5)
 _HEX_SPAN = float(1 << 32)
 
+# Unambiguous key-part separator: composite keys like (12, 3) and
+# (1, 23) must hash differently, so parts are joined with \x01 (a byte
+# that never appears in the key columns). DuckDB oracles mirror it as
+# chr(1). ADVICE r2: bare concatenation correlated draws across rows.
+_SEP = "\x01"
+
+
+def _key(key_cols: tuple[str, ...], *extra: Column) -> Column:
+    return F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols], *extra)
+
 
 def uniform01(key: Column) -> Column:
     """Deterministic uniform [0,1) from a key column: first 8 hex chars
@@ -64,7 +74,7 @@ def stratified_sample_hash(
     """Deterministic stratified sample: keep a row iff
     ``uniform01(concat(key_cols)) < fractions[stratum]``. Cluster-stable:
     the kept row set is a pure function of the data."""
-    u = uniform01(F.concat_ws("", *[F.col(c).cast("string") for c in key_cols]))
+    u = uniform01(_key(key_cols))
     frac = F.lit(0.0)
     for value, f in fractions.items():
         frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(frac)
@@ -82,11 +92,7 @@ def seeded_shuffle_key(key_cols: tuple[str, ...], seed: int = 42) -> Column:
     window moves every row to one task. ``orderBy(key)`` gives a
     distributed range-partitioned sort, and shard boundaries come from
     hash BANDS (``seeded_shard``) rather than rank ranges."""
-    return F.md5(
-        F.concat_ws(
-            "", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
-        )
-    )
+    return F.md5(_key(key_cols, F.lit(str(seed))))
 
 
 def seeded_shard(
@@ -99,11 +105,7 @@ def seeded_shard(
     """Shard ``shard``/``n_shards`` of the seeded permutation, selected
     by uniform hash band — a map-only filter (no sort, no shuffle), so a
     training loader can pull epoch shards independently at any scale."""
-    u = uniform01(
-        F.concat_ws(
-            "", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
-        )
-    )
+    u = uniform01(_key(key_cols, F.lit(str(seed))))
     lo, hi = shard / n_shards, (shard + 1) / n_shards
     return df.filter((u >= F.lit(lo)) & (u < F.lit(hi)))
 

@@ -37,10 +37,29 @@ _TOOL_IN = ", ".join(f"'{t}'" for t in TOOL_LIST)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# frames persisted by query bodies (LSH signature/feature frames); the
+# harnesses materialize one query at a time, so the NEXT query start —
+# or an explicit release_persisted() — unpersists them. Without this the
+# cached blocks accumulate across a shared session (ADVICE r2).
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> None:
+    """Unpersist every frame a query body cached (idempotent)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_persisted()  # previous query's cache is dead now
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             # single-exchange validation plan needs subset co-partitioning
             # (set here for driver-owned sessions; session.get_spark sets
@@ -767,8 +786,8 @@ def d_minhash_lsh_pairs(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     # persist + materialize the signatures: banding and the two estimate
     # re-joins all read them; inside one action an unmaterialized cache
-    # gets raced and computed per consumer
-    sigs = minhash_signatures(docs, dialect_common=True).persist()
+    # gets raced and computed per consumer (released via _PERSISTED)
+    sigs = _persist(minhash_signatures(docs, dialect_common=True))
     sigs.count()
     return minhash_lsh_candidate_pairs(docs, verify_threshold=0.6, sigs=sigs)
 
@@ -814,7 +833,7 @@ def d_lsh_verified_pairs(spark, sf_dir):
     # signature re-join and the true-Jaccard verification all read this
     # frame (3 consumers; recomputing the 64-hash map work per consumer
     # tripled the query's wall time)
-    feat = minhash_features(docs).persist()
+    feat = _persist(minhash_features(docs))
     feat.count()  # materialize BEFORE fan-out (see d_minhash_lsh_pairs)
     cands = minhash_lsh_candidate_pairs(
         docs, verify_threshold=None, sigs=feat.select("id", "sig")
@@ -1100,7 +1119,7 @@ def q_deterministic_sample(spark, sf_dir):
     """
 SELECT event_id, rk FROM (
   SELECT event_id,
-         row_number() OVER (ORDER BY md5(cast(event_id AS VARCHAR) || '42'),
+         row_number() OVER (ORDER BY md5(cast(event_id AS VARCHAR) || chr(1) || '42'),
                             event_id) AS rk
   FROM events
 ) t WHERE rk <= 100
@@ -1124,9 +1143,9 @@ def q_seeded_shuffle(spark, sf_dir):
     "q_seeded_shard",
     """
 SELECT event_id FROM events
-WHERE ('0x' || substr(md5(cast(event_id AS VARCHAR) || '42'), 1, 8))::BIGINT
+WHERE ('0x' || substr(md5(cast(event_id AS VARCHAR) || chr(1) || '42'), 1, 8))::BIGINT
       / 4294967296.0 >= 0.25
-  AND ('0x' || substr(md5(cast(event_id AS VARCHAR) || '42'), 1, 8))::BIGINT
+  AND ('0x' || substr(md5(cast(event_id AS VARCHAR) || chr(1) || '42'), 1, 8))::BIGINT
       / 4294967296.0 < 0.375
 """,
 )
@@ -1141,10 +1160,12 @@ def q_seeded_shard(spark, sf_dir):
     )
 
 
-# deterministic hash-uniform shared by the sampling oracles:
-# first 8 hex chars of md5(orderkey||linenumber) scaled to [0,1)
+# deterministic hash-uniform shared by the sampling oracles: first 8
+# hex chars of md5(orderkey || \x01 || linenumber) scaled to [0,1) —
+# chr(1) mirrors operators/sampling._SEP (unambiguous composite keys)
 _U01 = (
-    "('0x' || substr(md5(cast(l_orderkey AS VARCHAR) || cast(l_linenumber AS VARCHAR)), 1, 8))::BIGINT"
+    "('0x' || substr(md5(cast(l_orderkey AS VARCHAR) || chr(1)"
+    " || cast(l_linenumber AS VARCHAR)), 1, 8))::BIGINT"
     " / 4294967296.0"
 )
 

@@ -54,6 +54,16 @@ def _order_fn(
     last: Any = state.get[0] if state.exists else None
     out = []
     for pdf in pdfs:
+        # a null turn_idx (the flatten path emits one for corrupt kafka
+        # payloads) is a violation, not a crash: flag it, exclude it
+        # from the contiguity scan (int(NaN) would raise — ADVICE r2)
+        n_null = int(pdf["turn_idx"].isna().sum())
+        if n_null:
+            out.extend(
+                (conv_id, None, None, "null turn_idx (corrupt record)")
+                for _ in range(n_null)
+            )
+            pdf = pdf.dropna(subset=["turn_idx"])
         pdf = pdf.sort_values(["turn_idx", "ts"])
         for idx in pdf["turn_idx"]:
             idx = int(idx)

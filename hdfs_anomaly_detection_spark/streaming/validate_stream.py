@@ -183,11 +183,17 @@ def flatten_kafka_value(
         "partition",
         "offset",
         F.col("timestamp").alias("kafka_ts"),
+        # a NULL payload (tombstone/empty message) parses to a null
+        # struct with a null _corrupt_record — it must still count as
+        # corrupt, not surface as a clean all-null row (ADVICE r2)
+        F.col("value").isNull().alias("__null_value"),
         j.alias("__j"),
     ).select(
         "kafka_key", "topic", "partition", "offset", "kafka_ts",
         *[F.col(f"__j.{f}").alias(f) for f in fields],
-        F.col("__j._corrupt_record").isNotNull().alias("_corrupt"),
+        (F.col("__null_value") | F.col("__j._corrupt_record").isNotNull()).alias(
+            "_corrupt"
+        ),
     )
 
 

@@ -46,6 +46,21 @@ def test_decoders_reject_garbage():
         decode_wav(b"\x01\x02\x03")
 
 
+def test_bmp_rejects_degenerate_dimensions():
+    """A width<=0 / height==0 header must raise (routing the payload to
+    the decoded=false fallback) instead of emitting NaN features with
+    decoded=true (ADVICE r2)."""
+    import struct
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(px))
+    for w, h in [(0, 2), (-3, 2), (2, 0)]:
+        bad = bytearray(payload)
+        struct.pack_into("<ii", bad, 18, w, h)
+        with pytest.raises(ValueError):
+            decode_bmp(bytes(bad))
+
+
 def test_resize_nearest_matches_index_oracle():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)

@@ -24,8 +24,22 @@ def lineitem(spark):
 
 
 def _u01(orderkey, linenumber) -> float:
-    h = hashlib.md5(f"{orderkey}{linenumber}".encode()).hexdigest()
+    # \x01 separator mirrors operators/sampling._SEP (composite keys
+    # like (12,3) vs (1,23) must hash independently — ADVICE r2)
+    h = hashlib.md5(f"{orderkey}\x01{linenumber}".encode()).hexdigest()
     return int(h[:8], 16) / 2**32
+
+
+def test_composite_keys_hash_independently(lineitem):
+    """(12, 3) and (1, 23) concatenate identically without a separator;
+    with \\x01 their draws must differ (regression for ADVICE r2)."""
+    df, _ = lineitem
+    spark = df.sparkSession
+    pairs = spark.createDataFrame([(12, 3), (1, 23)], "a bigint, b bigint")
+    from hdfs_anomaly_detection_spark.operators.sampling import _key, uniform01
+
+    us = [r[0] for r in pairs.select(uniform01(_key(("a", "b")))).collect()]
+    assert us[0] != us[1]
 
 
 def test_hash_sample_matches_hashlib_oracle(lineitem):

@@ -172,6 +172,40 @@ def test_stateful_order_across_batches(spark, tmp_path):
     assert (r["conv_id"], r["turn_idx"], r["prev_idx"]) == ("c1", 4, 2)
 
 
+def test_stateful_order_null_turn_idx_flagged(spark, tmp_path):
+    """A null turn_idx (flatten emits one for corrupt kafka payloads)
+    becomes a violation row — it must never crash the query via
+    int(NaN) (ADVICE r2)."""
+    import datetime
+
+    from hdfs_anomaly_detection_spark.streaming import stateful_order_violations
+
+    path, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    ts = datetime.datetime(2025, 1, 1)
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    rows = [("c1", 0, ts), ("c1", None, ts), ("c1", 1, ts), ("c2", None, ts)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stateful_order_violations(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nullord")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM nullord").toPandas()
+    nulls = got[got["detail"].str.contains("null turn_idx")]
+    assert len(nulls) == 2 and set(nulls["conv_id"]) == {"c1", "c2"}
+    # the contiguity scan still ran over the non-null rows: c1 0→1 is
+    # clean, so no gap rows beyond the two null flags
+    assert len(got) == 2
+
+
 def test_kafka_value_flatten_plan(spark):
     """The kafka from_json flatten compiles and runs on a kafka-shaped
     frame (key/value binary + provenance columns): valid JSON parses to
@@ -188,6 +222,9 @@ def test_kafka_value_flatten_plan(spark):
     rows = [
         (b"c1", good.encode(), "transcripts", 0, 0, "2025-01-01T00:00:01Z"),
         (b"c2", b"{not json", "transcripts", 1, 7, "2025-01-01T00:00:02Z"),
+        # tombstone: NULL payload must be flagged corrupt, not surface
+        # as a clean all-null record (ADVICE r2)
+        (b"c3", None, "transcripts", 1, 9, "2025-01-01T00:00:03Z"),
     ]
     raw = spark.createDataFrame(
         rows,
@@ -203,6 +240,8 @@ def test_kafka_value_flatten_plan(spark):
     assert ok["conv_id"] == "c1" and ok["turn_idx"] == 0 and not ok["_corrupt"]
     bad = got.iloc[1]
     assert bad["_corrupt"] and bad["conv_id"] is None and bad["offset"] == 7
+    tomb = got.iloc[2]
+    assert tomb["_corrupt"] and tomb["conv_id"] is None and tomb["offset"] == 9
 
 
 def test_kafka_reader_config_compiles(spark):
