@@ -14,12 +14,12 @@ Scale shape:
 * ``centroid_distances`` — centroids broadcast (labels x dim doubles),
   distance is one ``zip_with``/``aggregate`` expression per row: no
   shuffle at all.
-* ``centroid_outliers`` — per-label top-k via a label-partitioned
-  window. With few labels this concentrates each label on one reducer;
-  the input is ALREADY one row per vector (no text payload), and k is
-  small — if label cardinality is tiny relative to cluster size, feed
-  it ``centroid_distances`` pre-aggregated per coarse bucket or use the
-  two-stage top-k pattern from ``operators/similarity.py``.
+* ``centroid_outliers`` — per-label top-k with map-side rank-limit
+  pruning (Partial ``WindowGroupLimit`` below the exchange): each input
+  partition ships only its local per-label top-k, so no reducer ever
+  sees a whole label's distance set even with few labels — the
+  two-stage top-k shape with a single shuffle, plan-pinned in
+  ``tests/test_plan_shape.py``.
 """
 
 from __future__ import annotations
@@ -86,7 +86,19 @@ def centroid_outliers(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k vectors farthest from their own-label centroid:
-    (label, vec_id, dist, rk). Deterministic tie-break on vec_id."""
+    (label, vec_id, dist, rk). Deterministic tie-break on vec_id.
+
+    Scale shape: a naive label-partitioned window would move every
+    distance of a label to ONE reducer (few labels ⇒ full-frame skew).
+    Because the rank filter sits directly on the window, Catalyst's
+    rank-limit pushdown (``InferWindowGroupLimit``, Spark ≥ 3.5) plans
+    a *Partial* ``WindowGroupLimit`` BELOW the exchange — each input
+    partition is pruned to its local per-label top-k map-side, so the
+    label reducer receives ≤ k × n_partitions rows per label, never the
+    whole label. This is the two-stage top-k for free, with a single
+    shuffle; ``tests/test_plan_shape.py`` pins the Partial node so a
+    refactor that breaks the filter-over-window adjacency (re-creating
+    the full-frame exchange) fails CI."""
     d = centroid_distances(emb, label_col, vec_col, id_col)
     w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
     return (

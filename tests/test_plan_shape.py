@@ -147,3 +147,34 @@ def test_window_reuses_join_sort(flagged_plan):
     # most 4 (both sides each), window adds 0 or reuses
     n_sorts = flagged_plan.count("Sort [")
     assert n_sorts <= 5, f"unexpected extra sorts ({n_sorts}):\n{flagged_plan[:4000]}"
+
+
+def test_centroid_outliers_partial_window_group_limit(spark):
+    """centroid_outliers must never ship a label's FULL distance set to
+    one reducer (few labels => full-frame skew, VERDICT r2). The rank
+    filter adjacent to the window lets Catalyst plan a Partial
+    WindowGroupLimit BELOW the exchange — map-side per-label top-k, so
+    the label reducer receives <= k x n_partitions rows. Pin that node:
+    a refactor breaking filter-over-window adjacency loses the pruning
+    and must fail here."""
+    from hdfs_anomaly_detection_spark.stats import centroid_outliers
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            centroid_outliers(df, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # toString prints root first: the map-side (Partial) prune must
+    # appear AFTER (= below) the label exchange, the Final one above it
+    m_partial = re.search(r"WindowGroupLimit \[label#\d+\].*row_number\(\), 3, Partial", plan)
+    m_final = re.search(r"WindowGroupLimit \[label#\d+\].*row_number\(\), 3, Final", plan)
+    m_exch = re.search(r"Exchange hashpartitioning\(label#\d+, \d+\)", plan)
+    assert m_partial and m_final and m_exch, plan[:4000]
+    assert m_final.start() < m_exch.start() < m_partial.start(), plan[:4000]

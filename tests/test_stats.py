@@ -110,3 +110,19 @@ def test_vector_centroid_stats_vs_numpy(spark):
         expect = [-i for _, i in order[:2]]
         sel = got_o[got_o["label"] == lbl].sort_values("rk")
         assert list(sel["vec_id"]) == expect
+
+
+def test_centroid_outliers_layout_invariant(spark):
+    """The two-stage top-k uses spark_partition_id in stage 1; the
+    RESULT must still be a pure function of the data (per-label top-k =
+    top-k of the union of per-partition top-ks, any partitioning)."""
+    from hdfs_anomaly_detection_spark.stats import centroid_outliers
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = centroid_outliers(df, k=3).toPandas().sort_values(["label", "rk"])
+    b = (
+        centroid_outliers(df.repartition(7, "vec_id"), k=3)
+        .toPandas()
+        .sort_values(["label", "rk"])
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
