@@ -302,25 +302,46 @@ def ngram_jaccard_pairs(
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched; the one
     pandas-UDF hop in the dedup family — 64-bit-per-token bit votes
-    would bloat a Catalyst expression tree 64×)."""
+    would bloat a Catalyst expression tree 64×).
+
+    Vectorized per batch (VERDICT r2): each UNIQUE token is md5-hashed
+    once (the old loop hashed every occurrence), tokens become a flat
+    (row, hash) pair list via one cheap 1-D gather, and the ±1 bit
+    votes are tallied with 64 bit-plane passes — per bit, a vectorized
+    shift/mask plus ``np.bincount(rows, weights=bit)`` counts the
+    1-votes per document (2·ones > n_tokens ⇔ positive vote sum).
+    Bit-identical to the per-row reference loop: bit i of the md5-
+    prefix big-endian uint64, votes counted per occurrence. ~20× faster
+    on ~300-char docs (micro-bench in PLANS.md); a (tokens × 64) vote-
+    matrix gather/scatter formulation was rejected — wide fancy
+    indexing is memory-bound and benched SLOWER than the loop."""
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    rows: list[int] = []
+    toks: list[str] = []
     for row, text in enumerate(texts):
         if text is None:
-            out[row] = 0
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in str(text).lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64)
-            acc += np.where(bits == 1, 1, -1)
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= 1 << i
-        out[row] = np.int64(np.uint64(val).astype(np.int64))
-    return pd.Series(out)
+        tt = str(text).lower().split()
+        rows.extend([row] * len(tt))
+        toks.extend(tt)
+    if not toks:
+        return pd.Series(out)
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in uniq)
+    h = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+    rows_a = np.asarray(rows, dtype=np.int64)
+    hh = h[codes]  # per-occurrence hashes: 1-D gather
+    n_tok = np.bincount(rows_a, minlength=n)
+    val = np.zeros(n, dtype=np.uint64)
+    one = np.uint64(1)
+    for i in range(64):
+        bit = ((hh >> np.uint64(i)) & one).astype(np.float64)
+        ones = np.bincount(rows_a, weights=bit, minlength=n)
+        val |= (2 * ones > n_tok).astype(np.uint64) << np.uint64(i)
+    return pd.Series(val.view(np.int64))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
