@@ -88,7 +88,16 @@ def drift_verdicts(
     by metric name — the runner passes projections of its persisted
     narrow frame so the digest pass reads ~8 B/row from cache instead of
     re-scanning the wide fact table (one fact scan per run, Drift
-    included)."""
+    included).
+
+    Besides the per-partition rows, each check emits ONE dataset-level
+    verdict under the global ``part_id = -1`` (the SchemaConformance
+    convention, ``constraints/runner.py``): the per-partition t-digests
+    of both sides are merged (mergeability is the whole point of the
+    sketch) and KS/PSI compared once — localized drift that stays under
+    every per-partition threshold can still trip the rolled-up verdict,
+    and vice versa a single noisy small partition no longer decides the
+    dataset. Driver-side cost stays O(partitions × centroids)."""
     spark = fact.sparkSession
     rows: list[tuple] = []
     for chk in checks:
@@ -100,9 +109,11 @@ def drift_verdicts(
         if mf is None:
             mf = metric_frame(fact, chk.metric, n_buckets)
         cur_pd = digests_to_pandas(build_partition_digests(mf, chk.metric))
+        cur_digests: list[TDigest] = []
         for _, r in cur_pd.iterrows():
             pid = int(r["part_id"])
             cur = _to_digest(r)
+            cur_digests.append(cur)
             base = base_by_pid.get(pid)
             if base is None:
                 rows.append((pid, chk.name, int(r["n"]), 0, float("nan"), False))
@@ -110,6 +121,24 @@ def drift_verdicts(
             stat = ks_statistic(base, cur) if chk.method == "ks" else psi(base, cur)
             rows.append(
                 (pid, chk.name, int(r["n"]), 0, stat, bool(stat <= chk.threshold))
+            )
+        if cur_digests and base_by_pid:
+            g_cur = TDigest.merge_all(cur_digests)
+            g_base = TDigest.merge_all(list(base_by_pid.values()))
+            g_stat = (
+                ks_statistic(g_base, g_cur)
+                if chk.method == "ks"
+                else psi(g_base, g_cur)
+            )
+            rows.append(
+                (
+                    -1,
+                    chk.name,
+                    int(sum(int(r["n"]) for _, r in cur_pd.iterrows())),
+                    0,
+                    g_stat,
+                    bool(g_stat <= chk.threshold),
+                )
             )
     from hdfs_anomaly_detection_spark.constraints.runner import VERDICTS_SCHEMA
 

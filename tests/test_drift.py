@@ -76,6 +76,11 @@ def test_drift_detected_end_to_end(spark):
     verd = ok.verdicts.toPandas()
     assert verd[verd["check_id"] == "drift_text_length_ks"]["passed"].all()
     assert verd[verd["check_id"] == "drift_turn_count_psi"]["passed"].all()
+    # dataset-level rolled-up verdict: merged digests under part_id=-1
+    # (SchemaConformance's global convention), one per drift check
+    glob = verd[verd["part_id"] == -1]
+    assert sorted(glob["check_id"]) == ["drift_text_length_ks", "drift_turn_count_psi"]
+    assert glob["passed"].all() and (glob["n_rows"] > 0).all()
 
     # drifted lengths → text_length fails everywhere, turn_count still passes
     drifted = clean_transcripts(spark, drifted_cfg)
@@ -86,3 +91,8 @@ def test_drift_detected_end_to_end(spark):
     assert (tl["statistic"] > 0.1).all()
     tc = verd[verd["check_id"] == "drift_turn_count_psi"]
     assert tc["passed"].all()
+    # the global -1 rows agree: drifted metric fails dataset-wide, the
+    # undrifted one passes dataset-wide
+    glob = verd[verd["part_id"] == -1].set_index("check_id")
+    assert not glob.loc["drift_text_length_ks", "passed"]
+    assert glob.loc["drift_turn_count_psi", "passed"]
