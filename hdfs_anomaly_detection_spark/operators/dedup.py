@@ -198,6 +198,20 @@ def minhash_lsh_candidate_pairs(
     recomputes the signatures unless the caller passes a persisted
     ``sigs`` frame — at scale, persist/checkpoint
     ``minhash_signatures(df)`` and pass it in.
+
+    Adversarial skew: a flood of identical/near-identical documents
+    degenerates one (band, bh) bucket, and a B-row bucket yields
+    O(B²) candidate pairs — no join strategy outruns a quadratic
+    output. Mitigations, in order: (1) run EXACT dedup
+    (``dedup_by_content_hash``) first so byte-identical floods collapse
+    to one representative before LSH — identical docs are exact dups,
+    LSH is for near-dups; (2) leave AQE on — the banded self-join is a
+    sort-merge join and ``OptimizeSkewedJoin`` splits a residual hot
+    bucket across reducers (``tests/test_partitioning_skew.py``
+    demonstrates the split on a planted hot band); (3) for corpora
+    where floods are expected and recall on them is waived, pre-filter
+    buckets with ``count() over (partition by band, bh) <= cap``
+    before the join and log the dropped buckets — never cap silently.
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands

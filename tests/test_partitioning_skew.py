@@ -69,3 +69,64 @@ def test_turn_count_aware_repartition(spark):
     out = turn_count_aware_repartition(df, target_rows_per_task=10_000, sample_fraction=0.2)
     n = out.rdd.getNumPartitions()
     assert 8 <= n <= 16  # ~100k/10k = 10, clamped at min 8
+
+
+def test_lsh_hot_band_aqe_skew_split(spark):
+    """Planted degenerate LSH band bucket (300 identical docs collide in
+    EVERY band): AQE's OptimizeSkewedJoin must split the hot (band, bh)
+    bucket of the banded self-join (skew=true in the final plan) and the
+    candidate set must still be the exact all-pairs of the flood.
+    Guidance for real corpora lives in minhash_lsh_candidate_pairs'
+    docstring: exact-dedup first; the quadratic bucket output itself is
+    inherent to identical docs."""
+    from hdfs_anomaly_detection_spark.operators import minhash_lsh_candidate_pairs
+
+    n_hot = 300
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document text repeated for every row").alias("text"),
+    )
+    cold = spark.range(1000, 1400).select(
+        F.col("id").alias("doc_id"),
+        F.format_string(
+            "unique filler document %d with its own distinct words %d", "id", "id"
+        ).alias("text"),
+    )
+    docs = hot.unionByName(cold).repartition(16)
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # tiny thresholds so the planted bucket counts as skewed at test scale
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # keep the SMJ
+    try:
+        pairs = minhash_lsh_candidate_pairs(docs, verify_threshold=0.9)
+        got = pairs.toPandas()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
+
+    # correctness under the split: exactly the all-pairs of the flood
+    flood = got[(got["id_a"] < n_hot) & (got["id_b"] < n_hot)]
+    assert len(flood) == n_hot * (n_hot - 1) // 2
+    assert (flood["est_jaccard"] == 1.0).all()
+    # and the final adaptive plan really split the hot bucket
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:4000]
