@@ -12,6 +12,8 @@ inside whole-stage codegen (no Python in the hot path).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -107,6 +109,50 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+# Buzhash constants: Knuth multiplicative + a salt XORed in after the
+# xorshift so mix(0) != 0 (the empty-string split yields code 0)
+_BUZ_MULT = 2654435761
+_BUZ_SALT = 0x27D4EB2F165667C5
+
+
+def _buzhash_mix(code):
+    """64-bit mix of one char code: multiply + xorshift + salt. The
+    product is ≤ 0x10FFFF × 2654435761 < 2^52, so ANSI-mode bigint
+    arithmetic never overflows; later rotations wrap bitwise (exempt
+    from ANSI checks)."""
+    v = code.cast("bigint") * F.lit(_BUZ_MULT)
+    v = v.bitwiseXOR(F.shiftright(v, 29))
+    return v.bitwiseXOR(F.lit(_BUZ_SALT))
+
+
+def _rotl64(v, r: int):
+    if r == 0:
+        return v
+    return F.shiftleft(v, r).bitwiseOR(F.shiftrightunsigned(v, 64 - r))
+
+
+def _buzhash_grams(codes, k: int):
+    """Array of cyclic-polynomial k-gram hashes from a BOUND mixed-code
+    array column: gram i = XOR of rotated mixed codes. ``codes`` must be
+    a plain column reference (projection boundary), not the mixing
+    expression itself — referencing an expression k times per gram
+    would inline the split+mix subtree k× (the ``shingle_frame``
+    trap). Out-of-range positions (texts shorter than k) contribute a
+    fixed pad via null-safe ``F.get`` + coalesce, mirroring the md5
+    path's truncated-substring behavior for short texts."""
+    n_grams = F.greatest(F.size(codes) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: reduce(
+            lambda acc, j: acc.bitwiseXOR(
+                _rotl64(F.coalesce(F.get(codes, i + F.lit(j)), F.lit(0)), k - 1 - j)
+            ),
+            range(k),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+
+
 def winnow_fingerprints(
     df,
     text_col: str = "text",
@@ -122,11 +168,23 @@ def winnow_fingerprints(
     run >= k+window-1 chars. Returns (id, fp bigint) exploded, distinct
     per doc.
 
-    All Catalyst: substring k-grams + hash inside one transform, window
-    minima via slice/array_min over a pre-bound hash array (projection
-    boundary — see ``operators/dedup.shingle_frame`` for the inlining
-    trap). ``dialect_common=True`` uses the md5-hex-prefix hash a SQL
-    oracle can replay; default xxhash64 is ~3x faster for production.
+    All Catalyst. Two hash families:
+
+    * ``dialect_common=True`` — md5-hex-prefix of each k-gram substring,
+      exactly replayable by a SQL oracle (DuckDB). O(n·k) string work.
+    * default — Buzhash (cyclic-polynomial), the classic ROLLING hash
+      family: each character is mixed to a 64-bit value ONCE (an O(n)
+      pass over a split-to-chars array), and gram i is
+      ``XOR_j rotl64(mix(c[i+j]), k-1-j)`` — O(n·k) register-only
+      shift/xor ops, zero per-gram string allocation or hashing. The
+      O(1)-per-position sliding update Buzhash is known for needs a
+      scan/prefix primitive Catalyst doesn't expose; the direct form
+      keeps the same mixed-char reuse, stays inside whole-stage
+      codegen, and is embarrassingly parallel (no cross-row state).
+
+    Window minima via slice/array_min over the pre-bound hash array
+    (projection boundary — see ``operators/dedup.shingle_frame`` for
+    the inlining trap).
 
     Reference analogue: whole-doc md5 keying
     (``anomaly_detection_service.py:269-271``) — winnowing generalizes
@@ -134,14 +192,22 @@ def winnow_fingerprints(
     c = F.col(text_col)
     t = F.lower(c)
     if dialect_common:
-        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+        n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+        kh = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(t, i, k)), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+        base = df.filter(c.isNotNull()).select(
+            F.col(id_col).alias("id"), kh.alias("__kh")
+        )
     else:
-        gram_hash = F.xxhash64  # noqa: E731
-    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    kh = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.substring(t, i, k))
-    )
-    base = df.filter(c.isNotNull()).select(F.col(id_col).alias("id"), kh.alias("__kh"))
+        mixed = F.transform(F.split(t, ""), lambda ch: _buzhash_mix(F.ascii(ch)))
+        base = df.filter(c.isNotNull()).select(
+            F.col(id_col).alias("id"), mixed.alias("__codes")
+        )
+        base = base.select("id", _buzhash_grams(F.col("__codes"), k).alias("__kh"))
     h = F.col("__kh")
     m = F.size(h)
     fps = F.when(

@@ -1087,9 +1087,11 @@ SELECT doc_id AS id, unnest(fps) AS fp FROM fp
 """,
 )
 def t_winnow_fingerprints(spark, sf_dir):
-    # rolling-hash winnowing fingerprints (char 8-grams, window 16):
-    # position-robust partial-overlap detection, the generalization of
-    # the reference's whole-doc md5 cache key
+    # winnowing fingerprints (char 8-grams, window 16): position-robust
+    # partial-overlap detection, the generalization of the reference's
+    # whole-doc md5 cache key. This oracle exercises the dialect-common
+    # md5-prefix family; the production default is the Buzhash rolling
+    # family (tests/test_text_functions.py replays it in Python)
     from hdfs_anomaly_detection_spark.functions.text import winnow_fingerprints
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)

@@ -105,3 +105,62 @@ def test_winnow_fingerprints_match_python_oracle(spark):
     f2 = set(got[got["id"] == 2]["fp"])
     f3 = set(got[got["id"] == 3]["fp"])
     assert f1 & f3 and not f1 & f2
+
+
+def test_winnow_buzhash_default_path_matches_python_oracle(spark):
+    """Default (production) hash family is Buzhash: chars mixed once,
+    gram = XOR of rotations — replayed bit-exactly in Python over
+    unsigned-64 arithmetic (r3: replaces per-gram xxhash64-of-substring
+    with register-only ops)."""
+    from hdfs_anomaly_detection_spark.functions.text import (
+        _BUZ_MULT,
+        _BUZ_SALT,
+        winnow_fingerprints,
+    )
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "completely different content with no overlap whatsoever in this text"),
+        (3, "zz The quick brown fox jumps over the lazy dog near the river bank yy"),
+        (4, "tiny"),
+        (5, ""),
+        (6, "unicode chars: héllo wörld ünïcode test padding padding padding!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=8, window=16).toPandas()
+
+    M = (1 << 64) - 1
+
+    def mix(code):
+        v = code * _BUZ_MULT
+        v ^= v >> 29
+        return v ^ _BUZ_SALT
+
+    def rotl(v, r):
+        return v if r == 0 else ((v << r) | (v >> (64 - r))) & M
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def py_winnow(text, k=8, window=16):
+        t = text.lower()
+        codes = [mix(ord(ch)) for ch in t] or [mix(0)]  # split('')→[''] ascii 0
+        n = max(len(codes) - (k - 1), 1)
+        h = []
+        for i in range(n):
+            acc = 0
+            for j in range(k):
+                c = codes[i + j] if i + j < len(codes) else 0
+                acc ^= rotl(c, k - 1 - j)
+            h.append(signed(acc))
+        if len(h) >= window:
+            return {min(h[j : j + window]) for j in range(len(h) - window + 1)}
+        return {min(h)}
+
+    for did, text in docs:
+        assert set(got[got["id"] == did]["fp"]) == py_winnow(text), f"doc {did}"
+    # the winnowing overlap property must survive the hash-family swap
+    f1 = set(got[got["id"] == 1]["fp"])
+    f2 = set(got[got["id"] == 2]["fp"])
+    f3 = set(got[got["id"] == 3]["fp"])
+    assert f1 & f3 and not f1 & f2
