@@ -8,9 +8,11 @@ marked complete (no retry/dead-letter, ``spark_job.py:144-153``), so
 restarts silently skip data. This module is the deliberate fix:
 
 * a ``manifest`` table holds one row per (run, part_id) with status,
-  timing, row/violation counts and an input fingerprint;
-* resume = anti-join of planned partitions against completed manifest
-  rows WITH THE SAME input fingerprint (input changed ⇒ full re-run);
+  timing, row/violation counts and a PER-PARTITION input fingerprint;
+* resume = skip every planned partition whose latest completed
+  manifest row carries the SAME fingerprint — a changed input re-runs
+  ONLY the partitions it touched (incremental revalidation), not the
+  whole table; an unchanged input is a full no-op;
 * violations / verdicts are written ``partitionBy(part_id)`` with
   dynamic partition overwrite, so re-processing a partition is
   idempotent (overwrite, never duplicate);
@@ -42,9 +44,12 @@ MANIFEST_SCHEMA = (
 
 
 def input_fingerprint(fact: DataFrame) -> str:
-    """Stable identity of the validated input: md5 over the sorted input
-    file list (parquet/Iceberg scans), falling back to the analyzed plan
-    (in-memory fixtures). Iceberg analogue: snapshot id."""
+    """Stable identity of the WHOLE validated input: md5 over the sorted
+    input file list (parquet/Iceberg scans), falling back to the
+    analyzed plan (in-memory fixtures). Iceberg analogue: snapshot id.
+    The resume unit is the per-partition fingerprint
+    (``ValidationJob.partition_fingerprints``); this global form remains
+    for callers that want one identity string per run."""
     files = sorted(fact.inputFiles())
     basis = "\n".join(files) if files else fact._jdf.queryExecution().analyzed().toString()
     return hashlib.md5(basis.encode()).hexdigest()
@@ -56,11 +61,42 @@ class ValidationJob:
     Outputs under ``base_dir``: ``violations/`` and ``verdicts/``
     (parquet, partitioned by part_id) and ``manifest/`` (append-only
     parquet log).
+
+    ``fingerprint_mode`` selects the per-partition input identity used
+    for incremental revalidation (skip partitions whose fingerprint is
+    unchanged since their last completed run):
+
+    * ``"files"`` (default) — md5 of the sorted list of input files
+      CONTAINING the partition's rows, read from the same conv_id-only
+      scan that plans the partitions (column-pruned: no payload read).
+      Precise when the physical layout correlates with the cluster key
+      (Iceberg tables partitioned/bucketed by it); with a fully random
+      layout every file touches every partition and a changed file
+      honestly re-runs them all (over-invalidation, never staleness).
+    * ``"content"`` — md5 of commutative per-partition row-hash
+      aggregates (count, bit_xor, bounded sum of xxhash64 over all
+      columns): layout-independent, detects exactly the partitions
+      whose ROWS changed even if every file was rewritten, at the cost
+      of scanning all validated columns once (same cost class as the
+      validation scan it can save).
+
+    Reference analogue: the Redis skip-if-seen md5 probe
+    (``anomaly_detection_service.py:987-1003``) at table granularity —
+    here crash-safe (manifest rows only appear after a partition
+    completes) and change-aware (fingerprint mismatch ⇒ re-run).
     """
 
-    def __init__(self, runner: ValidationRunner, base_dir: str) -> None:
+    def __init__(
+        self,
+        runner: ValidationRunner,
+        base_dir: str,
+        fingerprint_mode: str = "files",
+    ) -> None:
+        if fingerprint_mode not in ("files", "content"):
+            raise ValueError(f"unknown fingerprint_mode {fingerprint_mode!r}")
         self.runner = runner
         self.base_dir = base_dir.rstrip("/")
+        self.fingerprint_mode = fingerprint_mode
         self.manifest_path = f"{self.base_dir}/manifest"
         self.violations_path = f"{self.base_dir}/violations"
         self.verdicts_path = f"{self.base_dir}/verdicts"
@@ -73,18 +109,78 @@ class ValidationJob:
         except Exception:
             return spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def completed_parts(self, spark: SparkSession, fingerprint: str) -> set[int]:
+    def partition_fingerprints(self, fact: DataFrame) -> dict[int, str]:
+        """(part_id → fingerprint) for every partition present in
+        ``fact`` — ONE column-pruned aggregate scan, O(partitions)
+        driver memory."""
+        pid = self.runner.pid_expr().alias("part_id")
+        if self.fingerprint_mode == "content":
+            h = F.xxhash64(*[F.col(c) for c in fact.columns])
+            agg = (
+                fact.select(pid, h.alias("h"))
+                .groupBy("part_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor("h").alias("x"),
+                    # pmod bounds each term to [0, 2^31); decimal sum
+                    # cannot overflow at any row count (ANSI-safe)
+                    F.sum(
+                        F.pmod(F.col("h"), F.lit(2**31)).cast("decimal(38,0)")
+                    ).alias("s"),
+                )
+                .collect()
+            )
+            return {
+                int(r["part_id"]): hashlib.md5(
+                    f"content:{r['n']}:{r['x']}:{r['s']}".encode()
+                ).hexdigest()
+                for r in agg
+            }
+        # "files": per-partition sorted file list from the planning scan;
+        # in-memory inputs (no files) fall back to the analyzed plan —
+        # the same global basis input_fingerprint() uses
+        agg = (
+            fact.select(pid, F.input_file_name().alias("f"))
+            .distinct()
+            .groupBy("part_id")
+            .agg(F.sort_array(F.collect_set("f")).alias("files"))
+            .collect()
+        )
+        plan_basis = None
+        out: dict[int, str] = {}
+        for r in agg:
+            files = [f for f in r["files"] if f]
+            if files:
+                basis = "files:" + "\n".join(files)
+            else:
+                if plan_basis is None:
+                    plan_basis = (
+                        "plan:" + fact._jdf.queryExecution().analyzed().toString()
+                    )
+                basis = plan_basis
+            out[int(r["part_id"])] = hashlib.md5(basis.encode()).hexdigest()
+        return out
+
+    def completed_fingerprints(self, spark: SparkSession) -> dict[int, str]:
+        """Latest completed fingerprint per partition (manifest is an
+        append-only log; the newest ``done`` row wins)."""
         pdf = (
             self.manifest(spark)
-            .filter(
-                (F.col("status") == "done")
-                & (F.col("input_fingerprint") == fingerprint)
-            )
-            .select("part_id")
-            .distinct()
+            .filter(F.col("status") == "done")
+            .groupBy("part_id")
+            .agg(F.max_by("input_fingerprint", "finished_at").alias("fp"))
             .toPandas()
         )
-        return set(int(p) for p in pdf["part_id"])
+        return {int(r["part_id"]): r["fp"] for _, r in pdf.iterrows()}
+
+    def completed_parts(self, spark: SparkSession, fingerprint: str) -> set[int]:
+        """Partitions whose latest completed fingerprint equals
+        ``fingerprint`` (kept for global-identity callers)."""
+        return {
+            p
+            for p, fp in self.completed_fingerprints(spark).items()
+            if fp == fingerprint
+        }
 
     # ------------------------------------------------------------------ run
 
@@ -94,7 +190,8 @@ class ValidationJob:
         run_id: str | None = None,
         max_parts: int | None = None,
     ) -> dict:
-        """Validate all partitions not yet completed for this input.
+        """Validate all partitions whose input changed (or that never
+        completed) since the last run — incremental revalidation.
 
         ``max_parts`` limits how many pending partitions this invocation
         processes (used to simulate an interrupted run; also a natural
@@ -102,25 +199,19 @@ class ValidationJob:
         """
         spark = fact.sparkSession
         run_id = run_id or uuid.uuid4().hex[:12]
-        fp = input_fingerprint(fact)
         started = time.time()
 
-        planned = [
-            int(r["part_id"])
-            for r in fact.select(
-                self.runner.pid_expr().alias("part_id")
-            )
-            .distinct()
-            .collect()
-        ]
-        done = self.completed_parts(spark, fp)
-        pending = sorted(p for p in planned if p not in done)
+        fps = self.partition_fingerprints(fact)
+        planned = sorted(fps)
+        done = self.completed_fingerprints(spark)
+        pending = [p for p in planned if done.get(p) != fps[p]]
+        skipped = len(planned) - len(pending)
         if max_parts is not None:
             pending = pending[:max_parts]
         if not pending:
             return {
-                "run_id": run_id, "fingerprint": fp, "planned": len(planned),
-                "skipped": len(done), "processed": 0,
+                "run_id": run_id, "planned": len(planned),
+                "skipped": skipped, "processed": 0,
             }
 
         sub = fact.filter(
@@ -163,7 +254,7 @@ class ValidationJob:
                 _dt.datetime.fromtimestamp(started, _dt.timezone.utc).replace(tzinfo=None),
                 _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
                 int(r["n_rows"]), int(r["n_violations"]), int(r["n_checks_failed"]),
-                fp,
+                fps[int(r["part_id"])],
                 json.dumps({"n_checks": len(self.runner.checks)}),
             )
             for _, r in summary.iterrows()
@@ -175,8 +266,8 @@ class ValidationJob:
         # narrow frame so per-epoch foreachBatch runs don't accumulate cache
         res.unpersist()
         return {
-            "run_id": run_id, "fingerprint": fp, "planned": len(planned),
-            "skipped": len(done), "processed": len(pending),
+            "run_id": run_id, "planned": len(planned),
+            "skipped": skipped, "processed": len(pending),
         }
 
     @staticmethod
