@@ -39,6 +39,10 @@ from hdfs_anomaly_detection_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BENCH_CONVS", "250000"))
+# repetitions per query; medians are reported (this host's cycle budget
+# drifts between trials — single-shot numbers conflate plan changes
+# with host noise, see BENCH/BASELINE.md)
+REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 # representative operator queries timed at SF_DIR (subset of the driver set)
@@ -108,24 +112,39 @@ def run_validation(spark, paths) -> tuple[float, int, int]:
     return elapsed, n_rows, n_violations
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def main() -> None:
     spark = get_spark(parallelism=CPUS, shuffle_partitions=max(32, CPUS), app_name="bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     from hdfs_anomaly_detection_spark.plans import driver_queries
 
     for name in QUERY_NAMES:
         fn = driver_queries.QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        driver_queries.release_persisted()
+        trials = []
+        for _ in range(REPS):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            trials.append(time.time() - t0)
+            driver_queries.release_persisted()
+        timings[name] = round(_median(trials), 3)
+        spread[name] = [round(min(trials), 3), round(max(trials), 3)]
 
     paths = bench_fixture_paths(spark)
-    elapsed, n_rows, n_violations = run_validation(spark, paths)
-    timings["validation_full"] = round(elapsed, 3)
-    throughput = n_rows / elapsed if elapsed > 0 else 0.0
+    v_trials, n_rows, n_violations = [], 0, 0
+    for _ in range(REPS):
+        elapsed, n_rows, n_violations = run_validation(spark, paths)
+        v_trials.append(elapsed)
+    timings["validation_full"] = round(_median(v_trials), 3)
+    spread["validation_full"] = [round(min(v_trials), 3), round(max(v_trials), 3)]
+    throughput = n_rows / timings["validation_full"]
 
     print(
         json.dumps(
@@ -134,6 +153,8 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": REPS,
                 "sf": sf,
                 "validated_rows": n_rows,
                 "violations_found": n_violations,
