@@ -109,10 +109,18 @@ class ValidationJob:
         except Exception:
             return spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def partition_fingerprints(self, fact: DataFrame) -> dict[int, str]:
+    def partition_fingerprints(
+        self, fact: DataFrame, basis_salt: str = ""
+    ) -> dict[int, str]:
         """(part_id → fingerprint) for every partition present in
         ``fact`` — ONE column-pruned aggregate scan, O(partitions)
-        driver memory."""
+        driver memory.
+
+        ``basis_salt`` is mixed into every fingerprint: sources without
+        file lineage (kafka micro-batches) can fall back to a plan
+        basis that repeats across epochs, so the streaming
+        ``foreach_batch_validator`` salts with the epoch id to keep
+        distinct epochs from colliding into a skip."""
         pid = self.runner.pid_expr().alias("part_id")
         if self.fingerprint_mode == "content":
             h = F.xxhash64(*[F.col(c) for c in fact.columns])
@@ -132,7 +140,7 @@ class ValidationJob:
             )
             return {
                 int(r["part_id"]): hashlib.md5(
-                    f"content:{r['n']}:{r['x']}:{r['s']}".encode()
+                    f"content:{basis_salt}:{r['n']}:{r['x']}:{r['s']}".encode()
                 ).hexdigest()
                 for r in agg
             }
@@ -158,7 +166,9 @@ class ValidationJob:
                         "plan:" + fact._jdf.queryExecution().analyzed().toString()
                     )
                 basis = plan_basis
-            out[int(r["part_id"])] = hashlib.md5(basis.encode()).hexdigest()
+            out[int(r["part_id"])] = hashlib.md5(
+                (basis_salt + ":" + basis).encode()
+            ).hexdigest()
         return out
 
     def completed_fingerprints(self, spark: SparkSession) -> dict[int, str]:
@@ -189,6 +199,7 @@ class ValidationJob:
         fact: DataFrame,
         run_id: str | None = None,
         max_parts: int | None = None,
+        basis_salt: str = "",
     ) -> dict:
         """Validate all partitions whose input changed (or that never
         completed) since the last run — incremental revalidation.
@@ -201,7 +212,7 @@ class ValidationJob:
         run_id = run_id or uuid.uuid4().hex[:12]
         started = time.time()
 
-        fps = self.partition_fingerprints(fact)
+        fps = self.partition_fingerprints(fact, basis_salt=basis_salt)
         planned = sorted(fps)
         done = self.completed_fingerprints(spark)
         pending = [p for p in planned if done.get(p) != fps[p]]

@@ -234,6 +234,9 @@ def foreach_batch_validator(job) -> callable:
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        job.run(batch_df, run_id=f"epoch-{epoch_id}")
+        # epoch id salts the partition fingerprints: sources without
+        # file lineage (kafka) would otherwise repeat the plan-basis
+        # fallback across epochs and wrongly skip later epochs
+        job.run(batch_df, run_id=f"epoch-{epoch_id}", basis_salt=f"epoch-{epoch_id}")
 
     return handle
