@@ -312,8 +312,7 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- simhash
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched; the one
     pandas-UDF hop in the dedup family — 64-bit-per-token bit votes
     would bloat a Catalyst expression tree 64×).
@@ -356,6 +355,11 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         ones = np.bincount(rows_a, weights=bit, minlength=n)
         val |= (2 * ones > n_tok).astype(np.uint64) << np.uint64(i)
     return pd.Series(val.view(np.int64))
+
+
+# the Spark-facing Arrow UDF; the bare kernel stays importable so the
+# hypothesis property test can pit it against a per-row reference loop
+_simhash64 = F.pandas_udf(T.LongType())(_simhash64_batch)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

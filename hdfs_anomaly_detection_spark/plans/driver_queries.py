@@ -980,6 +980,63 @@ def s_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(emb, [float(x) for x in qvec], k=10, n_planes=6)
 
 
+def _near_dup_oracle_sql() -> str:
+    """DuckDB replay of embedding_near_dup_pairs: the 8 seeded
+    hyperplanes are float literals, the exact-bucket blocking is a
+    self-join on the packed sign signature, cosine in double with the
+    same left-to-right summation order as Spark's aggregate/zip_with
+    (the s_lsh_topk precedent)."""
+    from hdfs_anomaly_detection_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(cast(embedding AS DOUBLE[]), x -> x * 1.01)
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+s AS (SELECT vec_id, v, {sig} AS sig FROM base)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+"""
+
+
+@register("s_near_dup_pairs", _near_dup_oracle_sql())
+def s_near_dup_pairs(spark, sf_dir):
+    # embedding-cosine near-dup pairs with exact-bucket LSH blocking
+    # (the reference's >=0.98 embedding-reuse check,
+    # anomaly_detection_service.py:440-454). Scaled copies (x1.01) of
+    # every 20th vector are injected dialect-commonly: cosine is
+    # scale-invariant and signs don't flip, so each copy is a planted
+    # same-bucket sim=1.0 pair; natural same-bucket pairs >= 0.9 ride
+    # along. Vectors are cast to double BEFORE scaling in BOTH dialects
+    # so the float math is identical.
+    from hdfs_anomaly_detection_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(dup), threshold=0.9, n_planes=8
+    )
+
+
 @register(
     "t_token_count",
     r"""

@@ -108,3 +108,46 @@ def test_kmeans_deterministic(seed, k):
     c2 = _kmeans_fit(sample.copy(), k, seed=42)
     assert np.array_equal(c1, c2)
     assert c1.shape == (k, 8)
+
+
+# --------------------------------------------------------------- simhash
+
+_token = st.text(
+    alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+    min_size=1,
+    max_size=8,
+)
+_doc = st.one_of(
+    st.none(),
+    st.lists(_token, min_size=0, max_size=30).map(" ".join),
+)
+
+
+@given(st.lists(_doc, min_size=1, max_size=40))
+@settings(max_examples=80, deadline=None)
+def test_simhash_vectorized_matches_reference_loop(texts):
+    """The bit-plane bincount kernel (r3) must be bit-identical to the
+    straightforward per-row/per-token vote loop for arbitrary unicode
+    tokens, repeats, empties and nulls."""
+    import hashlib
+
+    import pandas as pd
+
+    from hdfs_anomaly_detection_spark.operators.dedup import _simhash64_batch
+
+    def reference(text):
+        if text is None:
+            return 0
+        acc = [0] * 64
+        for tok in str(text).lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= 1 << i
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    got = _simhash64_batch(pd.Series(texts, dtype=object)).tolist()
+    assert got == [reference(t) for t in texts]
