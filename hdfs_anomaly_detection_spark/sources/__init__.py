@@ -4,3 +4,6 @@ from hdfs_anomaly_detection_spark.sources.transcripts_view import (  # noqa: F40
     load_transcripts,
     register_views,
 )
+from hdfs_anomaly_detection_spark.sources.vector_store import (  # noqa: F401
+    VectorStore,
+)
