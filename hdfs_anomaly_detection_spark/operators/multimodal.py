@@ -8,9 +8,12 @@ are REAL for the formats expressible without external media libs:
 * ``image/bmp`` — 24-bit uncompressed BITMAPINFOHEADER BMP, parsed with
   pure NumPy (header fields + bottom-up padded rows);
 * ``audio/wav`` — PCM16 WAV via the stdlib ``wave`` module + NumPy;
-* anything else (codec ``stub``: e.g. real video containers) falls back
-  to ``decode_stub``'s deterministic fake vector — clearly marked via
-  the ``decoded`` output flag, so downstream can filter honestly.
+* ``video/y4m`` — uncompressed YUV4MPEG2 C444 (r3): byte-exact plane
+  roundtrip, per-frame luma/chroma + motion-proxy features;
+* anything else (codec ``stub``: compressed video containers needing
+  ffmpeg) falls back to ``decode_stub``'s deterministic fake vector —
+  clearly marked via the ``decoded`` output flag, so downstream can
+  filter honestly.
 
 Scale shape: payloads never enter a shuffle — decode + featurize is a
 map-only ``mapInPandas`` pass whose output is a narrow (id, features)
@@ -41,7 +44,7 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, codec string, n_bytes int, "
     "width int, height int, n_samples int, sample_rate int, "
-    "feature array<float>, decoded boolean"
+    "n_frames int, feature array<float>, decoded boolean"
 )
 
 # ------------------------------------------------------------ codecs (pure)
@@ -108,6 +111,54 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, data
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Uncompressed YUV4MPEG2 (C444, one byte per plane sample) from an
+    (n_frames, h, w, 3) uint8 YCbCr array — the one real video
+    container expressible without external codec libs; planes are
+    stored verbatim, so the roundtrip is byte-exact."""
+    n, h, w, _ = frames.shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode())
+    for i in range(n):
+        out += b"FRAME\n"
+        for plane in range(3):
+            out += frames[i, :, :, plane].tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """(n_frames, h, w, 3) uint8 YCbCr from a C444 YUV4MPEG2 stream."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    c444 = False
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            c444 = tok[1:] == b"444"
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError(f"degenerate Y4M dimensions (w={w}, h={h})")
+    if not c444:
+        raise ValueError("only C444 (no chroma subsampling) supported")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        pos = fnl + 1
+        raw = np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=pos)
+        frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("zero-frame Y4M stream")
+    return np.stack(frames)
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbour resize via index maps (the classic sharded-
     preprocessing step, no interpolation libs needed)."""
@@ -145,6 +196,20 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     return np.asarray([rms, peak, zcr, dur] + ratios, dtype=np.float32)
 
 
+def video_features(frames: np.ndarray) -> np.ndarray:
+    """8-dim: luma mean/std/peak, mean inter-frame luma delta (motion
+    proxy; 0 for a single frame), chroma means, aspect ratio."""
+    f = frames.astype(np.float64) / 255.0
+    y, cb, cr = f[..., 0], f[..., 1], f[..., 2]
+    motion = float(np.abs(np.diff(y, axis=0)).mean()) if len(f) > 1 else 0.0
+    n, h, w = frames.shape[:3]
+    return np.asarray(
+        [y.mean(), y.std(), y.max(), motion, cb.mean(), cr.mean(),
+         w / max(h, 1), float(n)],
+        dtype=np.float32,
+    )
+
+
 def decode_stub(payload: bytes, dim: int = 8) -> np.ndarray:
     """Deterministic fallback for codecs with no in-container decoder
     (real video needs ffmpeg): bytes → unit-norm vector. Rows produced
@@ -180,6 +245,14 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
                     samp = (rng.standard_normal(ns) * 3000).astype(np.int16)
                     payload = encode_wav_pcm16(samp, 8000)
                     meta = (0, 0, int(ns / 8), "wav")
+                elif (mid // 3) % 2 == 0:
+                    # real uncompressed video every other video row; the
+                    # remaining rows keep the stub payload so the
+                    # decoded=false fallback path stays exercised
+                    h, w = 2 + mid % 3, 4 + mid % 5
+                    nf = 1 + mid % 4
+                    fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+                    payload, meta = encode_y4m(fr), (w, h, nf * 40, "y4m")
                 else:
                     payload = hashlib.sha256(f"{seed}:{mid}".encode()).digest()
                     meta = (0, 0, (mid % 100) * 250, "stub")
@@ -206,7 +279,7 @@ def extract_features(
                 p = r["payload"]
                 codec = (r["meta"] or {}).get("codec") if r["meta"] is not None else None
                 nb = len(p) if p is not None else 0
-                w = h = ns = rate = 0
+                w = h = ns = rate = nf = 0
                 decoded = False
                 try:
                     if codec == "bmp" and p:
@@ -217,18 +290,23 @@ def extract_features(
                         rate, samp = decode_wav(bytes(p))
                         ns = len(samp)
                         feat, decoded = audio_features(samp, rate), True
+                    elif codec == "y4m" and p:
+                        frames = decode_y4m(bytes(p))
+                        nf, h, w = frames.shape[:3]
+                        feat, decoded = video_features(frames), True
                     else:
                         feat = fallback(bytes(p) if p is not None else b"")
                 except (ValueError, struct.error, wave.Error):
                     feat = fallback(bytes(p) if p is not None else b"")
                 out.append(
                     (int(r["media_id"]), r["kind"], codec, nb, w, h, ns, rate,
-                     feat.tolist(), decoded)
+                     nf, feat.tolist(), decoded)
                 )
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "kind", "codec", "n_bytes", "width",
-                         "height", "n_samples", "sample_rate", "feature", "decoded"],
+                         "height", "n_samples", "sample_rate", "n_frames",
+                         "feature", "decoded"],
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1378,34 +1378,46 @@ def s_embedding_norm_stats(spark, sf_dir):
 @register(
     "m_media_features",
     # The metadata half IS SQL-expressible (VERDICT r2): every selected
-    # column is a pure function of media_id — kind/codec from mid%3,
-    # BMP dims w=6+mid%7 / h=4+mid%5 with 54-byte header + 4-byte-padded
-    # rows, WAV ns=400+(mid%50)*16 with the 44-byte RIFF header, the
-    # video stub a 32-byte sha256 digest. decoded=true exactly when a
-    # real decoder ran, so a decode failure breaks the oracle match.
-    # Only the pixel/sample FEATURE vectors stay non-SQL (not selected).
+    # column is a pure function of media_id — kind from mid%3, BMP dims
+    # w=6+mid%7 / h=4+mid%5 with 54-byte header + 4-byte-padded rows,
+    # WAV ns=400+(mid%50)*16 with the 44-byte RIFF header, Y4M video
+    # (every other video row, r3) with its 35-byte single-digit-dims
+    # header + frames*(6 + 3wh), the residual stub rows a 32-byte
+    # sha256 digest. decoded=true exactly when a real decoder ran, so a
+    # decode failure breaks the oracle match. Only the pixel/sample
+    # FEATURE vectors stay non-SQL (not selected).
     """
 SELECT mid AS media_id,
        CASE mid % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CASE mid % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'stub' END AS codec,
-       CASE mid % 3
-            WHEN 0 THEN 54 + ((6 + mid % 7) * 3 + 3) // 4 * 4 * (4 + mid % 5)
-            WHEN 1 THEN 44 + 2 * (400 + (mid % 50) * 16)
+       CASE WHEN mid % 3 = 0 THEN 'bmp' WHEN mid % 3 = 1 THEN 'wav'
+            WHEN (mid // 3) % 2 = 0 THEN 'y4m' ELSE 'stub' END AS codec,
+       CASE WHEN mid % 3 = 0
+                 THEN 54 + ((6 + mid % 7) * 3 + 3) // 4 * 4 * (4 + mid % 5)
+            WHEN mid % 3 = 1 THEN 44 + 2 * (400 + (mid % 50) * 16)
+            WHEN (mid // 3) % 2 = 0
+                 THEN 35 + (1 + mid % 4) * (6 + 3 * (4 + mid % 5) * (2 + mid % 3))
             ELSE 32 END AS n_bytes,
-       CASE WHEN mid % 3 = 0 THEN 6 + mid % 7 ELSE 0 END AS width,
-       CASE WHEN mid % 3 = 0 THEN 4 + mid % 5 ELSE 0 END AS height,
+       CASE WHEN mid % 3 = 0 THEN 6 + mid % 7
+            WHEN mid % 3 = 2 AND (mid // 3) % 2 = 0 THEN 4 + mid % 5
+            ELSE 0 END AS width,
+       CASE WHEN mid % 3 = 0 THEN 4 + mid % 5
+            WHEN mid % 3 = 2 AND (mid // 3) % 2 = 0 THEN 2 + mid % 3
+            ELSE 0 END AS height,
        CASE WHEN mid % 3 = 1 THEN 400 + (mid % 50) * 16 ELSE 0 END AS n_samples,
        CASE WHEN mid % 3 = 1 THEN 8000 ELSE 0 END AS sample_rate,
-       mid % 3 <> 2 AS decoded
+       CASE WHEN mid % 3 = 2 AND (mid // 3) % 2 = 0 THEN 1 + mid % 4
+            ELSE 0 END AS n_frames,
+       mid % 3 <> 2 OR (mid // 3) % 2 = 0 AS decoded
 FROM generate_series(0, 119) AS g(mid)
 """,
 )
 def m_media_features(spark, sf_dir):
-    # multimodal decode + featurize: REAL BMP/WAV decoders (pure
-    # NumPy/stdlib) inside mapInPandas; video falls back to the
-    # documented stub with decoded=false. Deterministic synthesis, so
-    # the metadata projection is exactly replayable in SQL (above);
-    # the feature vectors (pixels/samples) remain pytest-verified.
+    # multimodal decode + featurize: REAL BMP/WAV/Y4M decoders (pure
+    # NumPy/stdlib) inside mapInPandas; compressed video containers
+    # fall back to the documented stub with decoded=false.
+    # Deterministic synthesis, so the metadata projection is exactly
+    # replayable in SQL (above); the feature vectors (pixels/samples/
+    # frames) remain pytest-verified.
     from hdfs_anomaly_detection_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
@@ -1414,7 +1426,7 @@ def m_media_features(spark, sf_dir):
     media = synthesize_media(spark, n=120)
     return extract_features(media).select(
         "media_id", "kind", "codec", "n_bytes", "width", "height",
-        "n_samples", "sample_rate", "decoded",
+        "n_samples", "sample_rate", "n_frames", "decoded",
     )
 
 

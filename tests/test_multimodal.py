@@ -39,6 +39,36 @@ def test_wav_roundtrip_exact_samples():
     assert np.array_equal(back, samp)
 
 
+def test_y4m_roundtrip_exact_planes():
+    from hdfs_anomaly_detection_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(5)
+    for n, h, w in [(1, 1, 1), (3, 2, 4), (4, 3, 7)]:
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_y4m(encode_y4m(fr)), fr)
+
+
+def test_y4m_rejects_garbage_and_degenerate():
+    from hdfs_anomaly_detection_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"NOT A VIDEO\n")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W0 H2 F25:1 Ip A1:1 C444\n")
+    with pytest.raises(ValueError):  # chroma-subsampled stream unsupported
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nFRAME\n" + b"\x00" * 6)
+    good = encode_y4m(np.zeros((1, 2, 2, 3), dtype=np.uint8))
+    hdr = good.find(b"\n") + 1
+    with pytest.raises(ValueError):  # corrupt frame marker
+        decode_y4m(good[:hdr] + b"XRAME" + good[hdr + 5 :])
+
+
 def test_decoders_reject_garbage():
     with pytest.raises(ValueError):
         decode_bmp(b"NOTABMP" + b"\x00" * 64)
@@ -84,13 +114,18 @@ def test_feature_schema_and_split(feats):
     _, f = feats
     assert list(f.columns) == [
         "media_id", "kind", "codec", "n_bytes", "width", "height",
-        "n_samples", "sample_rate", "feature", "decoded",
+        "n_samples", "sample_rate", "n_frames", "feature", "decoded",
     ]
     assert len(f) == 60
-    # images + audio really decode; video rows honestly flagged as stub
+    # images + audio really decode; y4m video decodes for real (r3),
+    # compressed-container stub rows stay honestly flagged
     assert f[f["kind"] == "image"]["decoded"].all()
     assert f[f["kind"] == "audio"]["decoded"].all()
-    assert not f[f["kind"] == "video"]["decoded"].any()
+    vid = f[f["kind"] == "video"]
+    assert vid[vid["codec"] == "y4m"]["decoded"].all()
+    assert (vid[vid["codec"] == "y4m"]["n_frames"] > 0).all()
+    assert not vid[vid["codec"] == "stub"]["decoded"].any()
+    assert len(vid[vid["codec"] == "y4m"]) > 0 and len(vid[vid["codec"] == "stub"]) > 0
 
 
 def test_image_rows_match_local_decode(feats):
@@ -121,9 +156,29 @@ def test_audio_rows_match_local_decode(feats):
         )
 
 
+def test_video_rows_match_local_decode(feats):
+    from hdfs_anomaly_detection_spark.operators.multimodal import (
+        decode_y4m,
+        video_features,
+    )
+
+    media, f = feats
+    for r in media.filter("kind = 'video' AND meta.codec = 'y4m'").collect():
+        frames = decode_y4m(bytes(r["payload"]))
+        sel = f[f["media_id"] == r["media_id"]].iloc[0]
+        assert sel["n_frames"] == frames.shape[0]
+        assert (sel["height"], sel["width"]) == frames.shape[1:3]
+        assert r["meta"]["duration_ms"] == frames.shape[0] * 40  # 25 fps
+        np.testing.assert_allclose(
+            np.asarray(sel["feature"]), video_features(frames), rtol=1e-6
+        )
+
+
 def test_stub_fallback_matches_python(feats):
     media, f = feats
-    for r in media.filter("kind = 'video'").collect():
+    stubs = media.filter("kind = 'video' AND meta.codec = 'stub'").collect()
+    assert len(stubs) > 0
+    for r in stubs:
         sel = f[f["media_id"] == r["media_id"]].iloc[0]
         np.testing.assert_allclose(
             np.asarray(sel["feature"]), decode_stub(bytes(r["payload"])), rtol=1e-6

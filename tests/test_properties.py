@@ -14,8 +14,10 @@ from hypothesis import strategies as st
 from hdfs_anomaly_detection_spark.operators.multimodal import (
     decode_bmp,
     decode_wav,
+    decode_y4m,
     encode_bmp,
     encode_wav_pcm16,
+    encode_y4m,
 )
 from hdfs_anomaly_detection_spark.operators.similarity import _kmeans_fit
 from hdfs_anomaly_detection_spark.sketch.drift import ks_statistic, psi
@@ -151,3 +153,15 @@ def test_simhash_vectorized_matches_reference_loop(texts):
 
     got = _simhash64_batch(pd.Series(texts, dtype=object)).tolist()
     assert got == [reference(t) for t in texts]
+
+
+@given(
+    st.integers(1, 6), st.integers(1, 9), st.integers(1, 9),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_y4m_roundtrip_any_shape(n, h, w, seed):
+    fr = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_y4m(encode_y4m(fr)), fr)
