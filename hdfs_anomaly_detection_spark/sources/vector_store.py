@@ -19,10 +19,12 @@ storage engine does the index's job:
   service's inverted lists. Inside the probed cells the exact
   brute-force ``cosine_topk`` two-stage top-k runs (plan-audited, no
   single-partition exchange).
-* **append** — new vectors are assigned with the SAME frozen centroids
-  (read back from the sidecar), so cells stay consistent without
-  retraining; dynamic-partition append touches only the cells the new
-  rows land in.
+* **append / upsert** — new vectors are assigned with the SAME frozen
+  centroids (read back from the sidecar), so cells stay consistent
+  without retraining. ``append`` is the ids-known-new fast path;
+  ``upsert`` gives the reference's replace-by-id point semantics and
+  rewrites ONLY the touched cell partitions (dynamic partition
+  overwrite; a single ``MERGE INTO`` on Iceberg).
 
 ``nprobe >= n_centroids`` probes everything and is EXACTLY the
 brute-force answer — the equivalence the tests pin.
@@ -96,12 +98,52 @@ class VectorStore:
         emb: DataFrame,
         vec_col: str = "embedding",
     ) -> None:
-        """Upsert path: assign new vectors with the FROZEN centroids
-        (no retrain — cells stay stable) and append; only the touched
-        cell directories gain files."""
+        """Append-only fast path (ids known to be new): assign vectors
+        with the FROZEN centroids (no retrain — cells stay stable);
+        only the touched cell directories gain files. For replace-by-id
+        semantics use :meth:`upsert`."""
         cents = self.centroids()
         assigned = emb.withColumn("cell", ivf_cell_expr(vec_col, cents))
         assigned.write.mode("append").partitionBy("cell").parquet(self.path)
+
+    def upsert(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Replace-by-id upsert (the reference's Qdrant point-upsert
+        semantics, ``spark_job.py:155-189``): incoming ids REPLACE any
+        stored version, including one whose new embedding moves it to a
+        different cell. Touched cells = cells the new rows land in ∪
+        cells holding old versions of those ids (found via a left-semi
+        join — never an id collect); only those partitions are
+        rewritten via dynamic partition overwrite, everything else is
+        untouched. The merged frame is localCheckpoint-materialized
+        before the write because it reads the same directories it
+        overwrites; on Iceberg this whole method is a single
+        ``MERGE INTO`` with no staging."""
+        spark = emb.sparkSession
+        cents = self.centroids()
+        new = emb.withColumn("cell", ivf_cell_expr(vec_col, cents))
+        table = self.read(spark)
+        ids = new.select(id_col).distinct()
+        touched = {
+            int(r[0])
+            for r in table.join(ids, id_col, "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        } | {int(r[0]) for r in new.select("cell").distinct().collect()}
+        cells = sorted(touched)
+        kept = table.filter(F.col("cell").isin(cells)).join(ids, id_col, "left_anti")
+        merged = kept.unionByName(new.select(*kept.columns)).localCheckpoint()
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("cell").parquet(self.path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
     # -------------------------------------------------------------- read
 

@@ -79,3 +79,59 @@ def test_append_uses_frozen_centroids(spark, store):
     got = vs.query(spark, q, k=2, nprobe=N_CELLS).toPandas()
     assert set(got["vec_id"]) == {3, 10_003}
     assert (got["sim"] == 1.0).all()
+
+
+def test_upsert_replaces_by_id_and_touches_only_affected_cells(spark, tmp_path):
+    """Qdrant point-upsert semantics: an incoming id replaces its stored
+    version even when the new embedding moves it to a different cell;
+    untouched cell partitions keep their exact file lists."""
+    import os
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vectors"))
+    vs.write(emb, n_centroids=N_CELLS)
+    n0 = vs.read(spark).count()
+
+    def files_by_cell():
+        out = {}
+        for c in range(N_CELLS):
+            d = f"{vs.path}/cell={c}"
+            out[c] = sorted(os.listdir(d)) if os.path.isdir(d) else []
+        return out
+
+    before = files_by_cell()
+
+    e3 = emb.filter(F.col("vec_id") == 3).first()
+    e7 = emb.filter(F.col("vec_id") == 7).first()
+    # vec 3 takes vec 7's embedding (may hop cells); 20001 is brand new
+    incoming = spark.createDataFrame(
+        [(3, e7["embedding"], e3["label"]), (20001, e3["embedding"], e3["label"])],
+        emb.schema,
+    )
+    vs.upsert(incoming)
+
+    table = vs.read(spark)
+    assert table.count() == n0 + 1  # replaced one, added one
+    rows3 = table.filter(F.col("vec_id") == 3).collect()
+    assert len(rows3) == 1  # no duplicate id anywhere
+    assert list(rows3[0]["embedding"]) == list(e7["embedding"])
+
+    # the new vec-3 embedding is exactly vec 7's: both surface at 1.0
+    got = vs.query(spark, [float(x) for x in e7["embedding"]], k=2, nprobe=N_CELLS)
+    pdf = got.toPandas()
+    assert set(pdf["vec_id"]) == {3, 7} and (pdf["sim"] == 1.0).all()
+
+    # only the cells of: old vec3, new vec3 (=vec7's), and 20001 changed
+    cents = vs.centroids()
+
+    def cell_of(v):
+        return int(((cents - np.asarray(v, dtype=float)) ** 2).sum(axis=1).argmin())
+
+    touched = {cell_of(e3["embedding"]), cell_of(e7["embedding"])}
+    after = files_by_cell()
+    changed = {c for c in range(N_CELLS) if before[c] != after[c]}
+    assert changed <= touched and len(changed) > 0
+    untouched = set(range(N_CELLS)) - touched
+    assert untouched and all(before[c] == after[c] for c in untouched)
