@@ -178,3 +178,27 @@ def test_centroid_outliers_partial_window_group_limit(spark):
     m_exch = re.search(r"Exchange hashpartitioning\(label#\d+, \d+\)", plan)
     assert m_partial and m_final and m_exch, plan[:4000]
     assert m_final.start() < m_exch.start() < m_partial.start(), plan[:4000]
+
+
+def test_topk_per_group_partial_window_group_limit(spark):
+    """q_topk_per_group keeps the rank filter adjacent to its window, so
+    every input partition is pruned to its local per-group top-k
+    map-side (Partial WindowGroupLimit below the exchange) — same scale
+    guarantee as centroid_outliers, pinned for the driver query too."""
+    from hdfs_anomaly_detection_spark.plans.driver_queries import QUERIES
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            QUERIES["q_topk_per_group"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    m_partial = re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan)
+    m_exch = re.search(r"Exchange hashpartitioning\(c_nationkey#\d+, \d+\)", plan)
+    assert m_partial and m_exch, plan[:3000]
+    assert m_exch.start() < m_partial.start(), plan[:3000]
