@@ -147,13 +147,7 @@ class ValidationJob:
         # "files": per-partition sorted file list from the planning scan;
         # in-memory inputs (no files) fall back to the analyzed plan —
         # the same global basis input_fingerprint() uses
-        agg = (
-            fact.select(pid, F.input_file_name().alias("f"))
-            .distinct()
-            .groupBy("part_id")
-            .agg(F.sort_array(F.collect_set("f")).alias("files"))
-            .collect()
-        )
+        agg = self._files_frame(fact).collect()
         plan_basis = None
         out: dict[int, str] = {}
         for r in agg:
@@ -170,6 +164,20 @@ class ValidationJob:
                 (basis_salt + ":" + basis).encode()
             ).hexdigest()
         return out
+
+    def _files_frame(self, fact: DataFrame) -> DataFrame:
+        """(part_id, files) aggregate behind the files-mode fingerprint.
+        Only the cluster-key column and the virtual input_file_name
+        reach the scan — the plan test pins the pruned ReadSchema, so
+        fingerprinting stays cheap relative to the validation it can
+        skip (it never reads payload columns)."""
+        pid = self.runner.pid_expr().alias("part_id")
+        return (
+            fact.select(pid, F.input_file_name().alias("f"))
+            .distinct()
+            .groupBy("part_id")
+            .agg(F.sort_array(F.collect_set("f")).alias("files"))
+        )
 
     def completed_fingerprints(self, spark: SparkSession) -> dict[int, str]:
         """Latest completed fingerprint per partition (manifest is an

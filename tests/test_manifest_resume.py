@@ -161,3 +161,20 @@ def test_incremental_content_mode_survives_full_rewrite(setup, spark, tmp_path):
     ).first()[0]
     man = job.manifest(spark).toPandas()
     assert set(man[man["run_id"] == "inc"]["part_id"]) == {pid}
+
+
+def test_files_fingerprint_scan_is_column_pruned(setup, spark, tmp_path):
+    """The files-mode fingerprint scan must read ONLY the cluster-key
+    column (conv_id) — never payloads: the whole point of incremental
+    revalidation is that deciding what to skip costs a fraction of the
+    work skipped."""
+    _, fact, runner, job = setup
+    plan = (
+        job._files_frame(fact)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m, plan[:2000]
+    assert "ReadSchema: struct<conv_id:string>" in m[0], m[0]
