@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from statistics import median as _median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -112,12 +113,6 @@ def run_validation(spark, paths) -> tuple[float, int, int]:
     return elapsed, n_rows, n_violations
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    mid = len(s) // 2
-    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
-
-
 def main() -> None:
     spark = get_spark(parallelism=CPUS, shuffle_partitions=max(32, CPUS), app_name="bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
@@ -144,7 +139,8 @@ def main() -> None:
         v_trials.append(elapsed)
     timings["validation_full"] = round(_median(v_trials), 3)
     spread["validation_full"] = [round(min(v_trials), 3), round(max(v_trials), 3)]
-    throughput = n_rows / timings["validation_full"]
+    med = timings["validation_full"]
+    throughput = n_rows / med if med > 0 else 0.0
 
     print(
         json.dumps(

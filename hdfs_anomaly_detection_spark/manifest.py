@@ -151,7 +151,8 @@ class ValidationJob:
         plan_basis = None
         out: dict[int, str] = {}
         for r in agg:
-            files = [f for f in r["files"] if f]
+            # non-file sources surface as ":-1" (empty name) → fallback
+            files = [f for f in r["files"] if f and not f.startswith(":")]
             if files:
                 basis = "files:" + "\n".join(files)
             else:
@@ -166,17 +167,34 @@ class ValidationJob:
         return out
 
     def _files_frame(self, fact: DataFrame) -> DataFrame:
-        """(part_id, files) aggregate behind the files-mode fingerprint.
-        Only the cluster-key column and the virtual input_file_name
-        reach the scan — the plan test pins the pruned ReadSchema, so
+        """(part_id, files) aggregate behind the files-mode fingerprint,
+        where each element is ``path:bytes`` (file name + summed split
+        byte-lengths from the virtual ``input_file_block_*`` columns).
+        The size component catches name-stable in-place rewrites
+        (distcp -overwrite, object-store PUT to the same key) that a
+        name-only basis would skip; a same-name SAME-size rewrite is
+        the residual blind spot — that's what ``content`` mode is for.
+        Only the cluster-key column and virtual file metadata reach the
+        scan — the plan test pins the pruned ReadSchema, so
         fingerprinting stays cheap relative to the validation it can
         skip (it never reads payload columns)."""
         pid = self.runner.pid_expr().alias("part_id")
         return (
-            fact.select(pid, F.input_file_name().alias("f"))
+            fact.select(
+                pid,
+                F.input_file_name().alias("f"),
+                F.input_file_block_start().alias("bs"),
+                F.input_file_block_length().alias("bl"),
+            )
             .distinct()
+            .groupBy("part_id", "f")
+            .agg(F.sum("bl").alias("bytes"))
             .groupBy("part_id")
-            .agg(F.sort_array(F.collect_set("f")).alias("files"))
+            .agg(
+                F.sort_array(
+                    F.collect_set(F.concat(F.col("f"), F.lit(":"), F.col("bytes")))
+                ).alias("files")
+            )
         )
 
     def completed_fingerprints(self, spark: SparkSession) -> dict[int, str]:

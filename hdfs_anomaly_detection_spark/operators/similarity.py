@@ -176,6 +176,15 @@ def ivf_index(
     return cents, emb.withColumn("__cell", ivf_cell_expr(vec_col, cents))
 
 
+def nearest_cells(cents: np.ndarray, query_vec, nprobe: int) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query (L2 on centroids) —
+    shared by ``ivf_topk`` and ``sources.vector_store.VectorStore`` so
+    probe selection can't drift between the two."""
+    qv = np.asarray(query_vec, dtype=float)
+    order = np.argsort(((cents - qv) ** 2).sum(axis=1))
+    return [int(c) for c in order[: min(nprobe, len(cents))]]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -194,9 +203,7 @@ def ivf_topk(
     cents, assigned = ivf_index(emb, n_centroids, id_col, vec_col, seed=seed)
     if len(cents) == 0:  # empty collection: nothing to prune
         return cosine_topk(emb, query_vec, k, id_col, vec_col)
-    qv = np.asarray(query_vec, dtype=float)
-    order = np.argsort(((cents - qv) ** 2).sum(axis=1))
-    cells = [int(c) for c in order[: min(nprobe, len(cents))]]
+    cells = nearest_cells(cents, query_vec, nprobe)
     probe = assigned.filter(F.col("__cell").isin(cells)).drop("__cell")
     return cosine_topk(probe, query_vec, k, id_col, vec_col)
 

@@ -97,7 +97,11 @@ def drift_verdicts(
     sketch) and KS/PSI compared once — localized drift that stays under
     every per-partition threshold can still trip the rolled-up verdict,
     and vice versa a single noisy small partition no longer decides the
-    dataset. Driver-side cost stays O(partitions × centroids)."""
+    dataset. On a subset run (incremental resume, max_parts chunk,
+    streaming epoch) the −1 row compares the validated partitions
+    against their OWN baseline slice — a rolled-up verdict for exactly
+    what this run validated, never a subset-vs-whole artifact.
+    Driver-side cost stays O(partitions × centroids)."""
     spark = fact.sparkSession
     rows: list[tuple] = []
     for chk in checks:
@@ -122,9 +126,17 @@ def drift_verdicts(
             rows.append(
                 (pid, chk.name, int(r["n"]), 0, stat, bool(stat <= chk.threshold))
             )
-        if cur_digests and base_by_pid:
+        # the baseline merge is restricted to the part_ids PRESENT in
+        # the current frame: an incremental/subset run (ValidationJob
+        # resume, max_parts chunk, foreachBatch epoch) must compare the
+        # revalidated partitions against THEIR baseline slice — merging
+        # the full baseline against a partial current would fabricate
+        # drift (or mask it) purely from the subset's composition
+        cur_pids = {int(r["part_id"]) for _, r in cur_pd.iterrows()}
+        base_subset = [d for p, d in base_by_pid.items() if p in cur_pids]
+        if cur_digests and base_subset:
             g_cur = TDigest.merge_all(cur_digests)
-            g_base = TDigest.merge_all(list(base_by_pid.values()))
+            g_base = TDigest.merge_all(base_subset)
             g_stat = (
                 ks_statistic(g_base, g_cur)
                 if chk.method == "ks"

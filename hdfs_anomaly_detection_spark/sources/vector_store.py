@@ -43,6 +43,7 @@ from hdfs_anomaly_detection_spark.operators.similarity import (
     cosine_topk,
     ivf_cell_expr,
     ivf_index,
+    nearest_cells,
 )
 
 _SIDECAR = "_centroids.json"
@@ -117,15 +118,23 @@ class VectorStore:
         stored version, including one whose new embedding moves it to a
         different cell. Touched cells = cells the new rows land in ∪
         cells holding old versions of those ids (found via a left-semi
-        join — never an id collect); only those partitions are
-        rewritten via dynamic partition overwrite, everything else is
-        untouched. The merged frame is localCheckpoint-materialized
-        before the write because it reads the same directories it
-        overwrites; on Iceberg this whole method is a single
-        ``MERGE INTO`` with no staging."""
+        join — never an id collect); exactly those partition
+        directories are deleted and rewritten, everything else is
+        untouched — including a cell the move EMPTIED, which dynamic
+        partition overwrite alone would have left holding the stale row
+        (a partition absent from the written data is never touched by
+        it). Ids repeated WITHIN the incoming batch collapse to one
+        arbitrary row first (a DataFrame has no order, so there is no
+        meaningful "last write" inside a batch). The merged frame is
+        localCheckpoint-materialized before the directories are
+        cleared because it reads the same files it replaces; on
+        Iceberg this whole method is a single ``MERGE INTO`` with no
+        staging."""
         spark = emb.sparkSession
         cents = self.centroids()
-        new = emb.withColumn("cell", ivf_cell_expr(vec_col, cents))
+        new = emb.dropDuplicates([id_col]).withColumn(
+            "cell", ivf_cell_expr(vec_col, cents)
+        )
         table = self.read(spark)
         ids = new.select(id_col).distinct()
         touched = {
@@ -138,12 +147,14 @@ class VectorStore:
         cells = sorted(touched)
         kept = table.filter(F.col("cell").isin(cells)).join(ids, id_col, "left_anti")
         merged = kept.unionByName(new.select(*kept.columns)).localCheckpoint()
-        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("cell").parquet(self.path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for c in cells:
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/cell={c}")
+            fs = jpath.getFileSystem(conf)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+        merged.write.mode("append").partitionBy("cell").parquet(self.path)
 
     # -------------------------------------------------------------- read
 
@@ -163,9 +174,6 @@ class VectorStore:
         ``cell`` predicate hits a PARTITION column, so the scan's
         ``PartitionFilters`` prune every other directory before any
         file is opened."""
-        cents = self.centroids()
-        qv = np.asarray(query_vec, dtype=float)
-        order = np.argsort(((cents - qv) ** 2).sum(axis=1))
-        cells = [int(c) for c in order[: min(nprobe, len(cents))]]
+        cells = nearest_cells(self.centroids(), query_vec, nprobe)
         probe = self.read(spark).filter(F.col("cell").isin(cells))
         return cosine_topk(probe, query_vec, k, id_col, vec_col)

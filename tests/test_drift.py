@@ -96,3 +96,28 @@ def test_drift_detected_end_to_end(spark):
     glob = verd[verd["part_id"] == -1].set_index("check_id")
     assert not glob.loc["drift_text_length_ks", "passed"]
     assert glob.loc["drift_turn_count_psi", "passed"]
+
+
+def test_global_drift_on_subset_run_uses_baseline_slice(spark):
+    """Review-found: an incremental/subset run must compare its
+    partitions against THEIR baseline slice, not the whole-dataset
+    baseline merge — otherwise the subset's composition alone
+    fabricates (or masks) drift in the part_id=-1 row."""
+    cfg = FixtureConfig(n_conversations=400)
+    clean = clean_transcripts(spark, cfg)
+    baselines = compute_baselines(clean, ["text_length"], n_buckets=8)
+    checks = [Drift("d", metric="text_length", method="ks", threshold=0.1)]
+
+    from hdfs_anomaly_detection_spark.constraints import ValidationRunner
+    from hdfs_anomaly_detection_spark.constraints.runner import part_id_expr
+
+    # validate ONLY two partitions of the SAME (undrifted) data: the
+    # global verdict must pass — under the old whole-baseline merge the
+    # statistic compared 2 partitions vs 8 and depended on composition
+    sub = clean.filter(part_id_expr(n_buckets=8).isin([2, 5]))
+    res = ValidationRunner(checks, n_buckets=8, baselines=baselines).run(sub)
+    verd = res.verdicts.toPandas()
+    glob = verd[verd["part_id"] == -1]
+    assert len(glob) == 1
+    assert glob.iloc[0]["passed"] and glob.iloc[0]["statistic"] < 0.05
+    res.unpersist()

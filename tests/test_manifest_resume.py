@@ -178,3 +178,27 @@ def test_files_fingerprint_scan_is_column_pruned(setup, spark, tmp_path):
     m = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert m, plan[:2000]
     assert "ReadSchema: struct<conv_id:string>" in m[0], m[0]
+
+
+def test_files_fingerprint_detects_name_stable_rewrite(setup, spark, tmp_path):
+    """Review-found: a name-preserving in-place rewrite (distcp
+    -overwrite, object-store PUT to the same key) must still invalidate
+    the partition — the files basis carries split byte-lengths, not
+    just names."""
+    _, _, runner, _ = setup
+    d = tmp_path / "csv_in"
+    d.mkdir()
+    f = d / "part-000.csv"
+    f.write_text("conv_a\nconv_b\nconv_c\n")
+    job = ValidationJob(runner, str(tmp_path / "fp_out"))
+
+    fact1 = spark.read.schema("conv_id string").csv(str(d))
+    fp1 = job.partition_fingerprints(fact1)
+
+    # same file NAME, different content (and size)
+    f.write_text("conv_a\nconv_b\nconv_c\nconv_added\n")
+    fact2 = spark.read.schema("conv_id string").csv(str(d))
+    fp2 = job.partition_fingerprints(fact2)
+
+    changed = {p for p in fp1 if fp2.get(p) != fp1[p]}
+    assert changed, "name-stable rewrite went undetected"

@@ -135,3 +135,40 @@ def test_upsert_replaces_by_id_and_touches_only_affected_cells(spark, tmp_path):
     assert changed <= touched and len(changed) > 0
     untouched = set(range(N_CELLS)) - touched
     assert untouched and all(before[c] == after[c] for c in untouched)
+
+
+def test_upsert_clears_emptied_cell_and_collapses_batch_dups(spark, tmp_path):
+    """Two review-found edge cases: (a) when an upsert moves a cell's
+    ONLY row elsewhere, the emptied partition must not keep the stale
+    version (dynamic overwrite alone never touches a partition absent
+    from the written data); (b) ids repeated within one incoming batch
+    collapse to a single stored row."""
+    import numpy as np
+
+    # craft vectors so cells are predictable: one lone far-away vector
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)] + [0.0] * 62, 0) for i in range(40)]
+        + [(999, [1000.0, 1000.0] + [0.0] * 62, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    vs = VectorStore(str(tmp_path / "vs"))
+    vs.write(base, n_centroids=4)
+    lone_cell = int(
+        vs.read(spark).filter(F.col("vec_id") == 999).first()["cell"]
+    )
+    # the far-away vector sits alone in its cell
+    assert vs.read(spark).filter(F.col("cell") == lone_cell).count() == 1
+
+    # (a) move 999 next to the crowd; its old cell empties out
+    # (b) the batch carries the id twice — must store exactly one row
+    moved = spark.createDataFrame(
+        [(999, [0.0, 1.0] + [0.0] * 62, 0), (999, [1.0, 0.0] + [0.0] * 62, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    vs.upsert(moved)
+    table = vs.read(spark)
+    assert table.filter(F.col("cell") == lone_cell).count() == 0  # no stale row
+    rows = table.filter(F.col("vec_id") == 999).collect()
+    assert len(rows) == 1
+    assert float(np.asarray(rows[0]["embedding"]).max()) <= 1.0  # new version
+    assert table.count() == 41
