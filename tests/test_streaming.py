@@ -316,3 +316,52 @@ def test_foreach_batch_full_validation(spark, staged, tmp_path):
     man = job.manifest(spark).toPandas()
     assert (man["status"] == "done").all() and len(man) > 0
     assert job.violations(spark).count() > 0
+
+
+def test_stateful_order_survives_query_restart(spark, tmp_path):
+    """The module docstring's core claim: the last-seen turn_idx lives
+    in the CHECKPOINTED state store, so a stopped-and-restarted query
+    (new StreamingQuery object, same checkpoint dir) still catches a
+    gap whose two sides straddle the restart — the reference's
+    per-process dicts died with the consumer (spark_job.py:144-153)."""
+    import datetime
+
+    from hdfs_anomaly_detection_spark.streaming import stateful_order_violations
+
+    path, ck, out = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    ts = datetime.datetime(2025, 1, 1)
+    schema = "conv_id string, turn_idx int, ts timestamp"
+
+    def run_once():
+        # a RECOVERABLE sink (file, not memory) — recovery is the point
+        stream = spark.readStream.schema(schema).parquet(path)
+        q = (
+            stateful_order_violations(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # first incarnation sees turns 0..2
+    spark.createDataFrame(
+        [("c1", 0, ts), ("c1", 1, ts), ("c1", 2, ts)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    run_once()
+    assert spark.read.parquet(out).count() == 0
+
+    # second incarnation (fresh query object) sees turn 4: the gap vs
+    # the pre-restart last-seen index 2 must be flagged
+    spark.createDataFrame([("c1", 4, ts)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    run_once()
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["conv_id"], r["turn_idx"], r["prev_idx"]) == ("c1", 4, 2)
