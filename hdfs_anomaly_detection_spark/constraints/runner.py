@@ -107,6 +107,7 @@ class ValidationRunner:
         part_col: str | None = None,
         cluster_key: str | None = "conv_id",
         carry_cols: tuple[str, ...] = (),
+        pre_clustered: bool = False,
     ) -> None:
         """``part_col``: use an existing int column as the partition id
         (e.g. an Iceberg partition column) instead of the default
@@ -123,7 +124,19 @@ class ValidationRunner:
         is a superset of the window's requirement). Measured at 9M rows
         this removes one full-frame exchange + one sort vs the naive
         plan. Set to None to let Catalyst plan each exchange
-        independently."""
+        independently.
+
+        ``pre_clustered``: the input table is ALREADY hash-distributed
+        by ``cluster_key`` — a bucketed table (``sources/bucketed``,
+        read via ``spark.table`` so the bucket spec survives) or an
+        Iceberg ``bucket(N, conv_id)`` layout. The runner then skips
+        its own repartition and the scan's bucket partitioning carries
+        the whole plan: at 10^12 turns this moves the engine's one
+        remaining full-frame exchange (~50 B/row × rows per run) into
+        storage, amortized across every subsequent validation of the
+        same table. Safe degradation: if the input is NOT actually
+        bucketed, EnsureRequirements simply re-inserts the exchanges —
+        same results, the old cost."""
         self.checks = checks
         self.n_buckets = n_buckets
         self.dims = dims or {}
@@ -135,6 +148,7 @@ class ValidationRunner:
         # (e.g. the streaming watermark needs ts); every extra column
         # multiplies across all downstream exchanges, so opt-in only
         self.carry_cols = tuple(carry_cols)
+        self.pre_clustered = pre_clustered
 
     def pid_expr(self) -> F.Column:
         if self.part_col:
@@ -234,7 +248,7 @@ class ValidationRunner:
             and self.cluster_key in fact.columns
             and (mono_checks or te_checks or ri_checks)
         )
-        if clustered:
+        if clustered and not self.pre_clustered:
             df = df.repartition(n_shuffle, self.cluster_key)
 
         for t, chk in enumerate(te_checks):
