@@ -203,7 +203,14 @@ def winnow_fingerprints(
             F.col(id_col).alias("id"), kh.alias("__kh")
         )
     else:
-        mixed = F.transform(F.split(t, ""), lambda ch: _buzhash_mix(F.ascii(ch)))
+        # slice the char array to exactly length(t) elements (min 1 so an
+        # empty doc keeps its single sentinel gram): pre-SPARK-40194
+        # (Spark < 3.4) split(t, '') appends a trailing '' element, which
+        # would silently add one pad gram per document and change every
+        # default fingerprint — the slice makes the production hash family
+        # stable across Spark versions instead of relying on 3.4+ semantics
+        chars = F.slice(F.split(t, ""), 1, F.greatest(F.length(t), F.lit(1)))
+        mixed = F.transform(chars, lambda ch: _buzhash_mix(F.ascii(ch)))
         base = df.filter(c.isNotNull()).select(
             F.col(id_col).alias("id"), mixed.alias("__codes")
         )

@@ -99,9 +99,10 @@ def drift_verdicts(
     and vice versa a single noisy small partition no longer decides the
     dataset. On a subset run (incremental resume, max_parts chunk,
     streaming epoch) the −1 row compares the validated partitions
-    against their OWN baseline slice — a rolled-up verdict for exactly
-    what this run validated, never a subset-vs-whole artifact.
-    Driver-side cost stays O(partitions × centroids)."""
+    against their OWN baseline slice — strictly the intersection of
+    part_ids: a current partition with no baseline digest contributes
+    only its per-partition NaN/failed flag row, never the rolled-up
+    merge. Driver-side cost stays O(partitions × centroids)."""
     spark = fact.sparkSession
     rows: list[tuple] = []
     for chk in checks:
@@ -114,24 +115,31 @@ def drift_verdicts(
             mf = metric_frame(fact, chk.metric, n_buckets)
         cur_pd = digests_to_pandas(build_partition_digests(mf, chk.metric))
         cur_digests: list[TDigest] = []
+        matched_n = 0
         for _, r in cur_pd.iterrows():
             pid = int(r["part_id"])
             cur = _to_digest(r)
-            cur_digests.append(cur)
             base = base_by_pid.get(pid)
             if base is None:
+                # no baseline for this partition: it gets its per-partition
+                # NaN/failed flag row, and stays OUT of the rolled-up merge —
+                # the -1 row compares matched pids only, both sides over the
+                # same partition set (a baseline-less partition on the
+                # current side would skew the global KS/PSI)
                 rows.append((pid, chk.name, int(r["n"]), 0, float("nan"), False))
                 continue
+            cur_digests.append(cur)
+            matched_n += int(r["n"])
             stat = ks_statistic(base, cur) if chk.method == "ks" else psi(base, cur)
             rows.append(
                 (pid, chk.name, int(r["n"]), 0, stat, bool(stat <= chk.threshold))
             )
-        # the baseline merge is restricted to the part_ids PRESENT in
-        # the current frame: an incremental/subset run (ValidationJob
-        # resume, max_parts chunk, foreachBatch epoch) must compare the
-        # revalidated partitions against THEIR baseline slice — merging
-        # the full baseline against a partial current would fabricate
-        # drift (or mask it) purely from the subset's composition
+        # the rolled-up merge runs over the INTERSECTION of part_ids: an
+        # incremental/subset run (ValidationJob resume, max_parts chunk,
+        # foreachBatch epoch) must compare the revalidated partitions
+        # against THEIR baseline slice — merging the full baseline against
+        # a partial current (or a baseline-less current partition against
+        # nothing) would fabricate drift purely from set composition
         cur_pids = {int(r["part_id"]) for _, r in cur_pd.iterrows()}
         base_subset = [d for p, d in base_by_pid.items() if p in cur_pids]
         if cur_digests and base_subset:
@@ -146,7 +154,7 @@ def drift_verdicts(
                 (
                     -1,
                     chk.name,
-                    int(sum(int(r["n"]) for _, r in cur_pd.iterrows())),
+                    matched_n,
                     0,
                     g_stat,
                     bool(g_stat <= chk.threshold),

@@ -5,5 +5,6 @@ from hdfs_anomaly_detection_spark.sources.transcripts_view import (  # noqa: F40
     register_views,
 )
 from hdfs_anomaly_detection_spark.sources.vector_store import (  # noqa: F401
+    ConcurrentWriteError,
     VectorStore,
 )

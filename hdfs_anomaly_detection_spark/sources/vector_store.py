@@ -23,8 +23,25 @@ storage engine does the index's job:
   centroids (read back from the sidecar), so cells stay consistent
   without retraining. ``append`` is the ids-known-new fast path;
   ``upsert`` gives the reference's replace-by-id point semantics and
-  rewrites ONLY the touched cell partitions (dynamic partition
-  overwrite; a single ``MERGE INTO`` on Iceberg).
+  rewrites ONLY the touched cell partitions, durably: the merged cells
+  are staged to an underscore-prefixed directory (invisible to parquet
+  reads) and swapped in AFTER the stage write commits, with a marker
+  file that lets any later open finish an interrupted swap — a crash
+  at any point loses nothing (a single ``MERGE INTO`` on Iceberg).
+
+**Concurrency contract: single writer.** Qdrant serializes concurrent
+point upserts server-side; this store is a directory of files with no
+server, so ``write``/``append``/``upsert`` take a best-effort lock
+(atomic create of a ``_WRITE_LOCK`` sentinel): a second concurrent
+writer fails fast with :class:`ConcurrentWriteError` instead of
+interleaving deletes and renames. A writer that crashed while holding
+the lock leaves the sentinel behind — call :meth:`unlock` to break it
+(the staged-swap recovery guarantees the data itself needs no repair).
+Readers never take the lock.
+
+All sidecar/marker/lock IO goes through the Hadoop FileSystem API —
+the store works unchanged on ``hdfs://`` / ``s3a://`` paths, not just
+the local filesystem.
 
 ``nprobe >= n_centroids`` probes everything and is EXACTLY the
 brute-force answer — the equivalence the tests pin.
@@ -33,7 +50,6 @@ brute-force answer — the equivalence the tests pin.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +63,13 @@ from hdfs_anomaly_detection_spark.operators.similarity import (
 )
 
 _SIDECAR = "_centroids.json"
+_STAGE = "_upsert_stage"
+_MARKER = "_upsert_stage/_READY"
+_LOCK = "_WRITE_LOCK"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer tried to acquire the store's write lock."""
 
 
 class VectorStore:
@@ -55,19 +78,118 @@ class VectorStore:
     def __init__(self, path: str) -> None:
         self.path = path.rstrip("/")
 
+    # ------------------------------------------------------- hadoop fs io
+
+    @staticmethod
+    def _active_spark(spark: SparkSession | None) -> SparkSession:
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession for VectorStore IO")
+        return spark
+
+    def _fs(self, spark: SparkSession, rel: str):
+        """(FileSystem, Path) for ``{self.path}/{rel}`` via the Hadoop FS
+        API — same filesystem the dataframes write through, so the
+        sidecar/marker/lock live wherever the data lives (hdfs/s3a/
+        file), never silently on driver-local disk."""
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}" if rel else self.path)
+        return jpath.getFileSystem(conf), jpath
+
+    def _write_small(self, spark: SparkSession, rel: str, text: str) -> None:
+        fs, jpath = self._fs(spark, rel)
+        out = fs.create(jpath, True)  # overwrite=True
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_small(self, spark: SparkSession, rel: str) -> str:
+        fs, jpath = self._fs(spark, rel)
+        inp = fs.open(jpath)
+        try:
+            # readAllBytes RETURNS byte[] (py4j auto-converts to Python
+            # bytes); a readFully(buf) would mutate a py4j copy instead
+            return bytes(inp.readAllBytes()).decode("utf-8")
+        finally:
+            inp.close()
+
+    def _exists(self, spark: SparkSession, rel: str) -> bool:
+        fs, jpath = self._fs(spark, rel)
+        return bool(fs.exists(jpath))
+
+    def _delete(self, spark: SparkSession, rel: str) -> None:
+        fs, jpath = self._fs(spark, rel)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
     # ------------------------------------------------------------- sidecar
 
-    def _sidecar_path(self) -> str:
-        return f"{self.path}/{_SIDECAR}"
+    def _save_centroids(self, spark: SparkSession, cents: np.ndarray) -> None:
+        self._write_small(spark, _SIDECAR, json.dumps({"centroids": cents.tolist()}))
 
-    def _save_centroids(self, cents: np.ndarray) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._sidecar_path(), "w") as f:
-            json.dump({"centroids": cents.tolist()}, f)
+    def centroids(self, spark: SparkSession | None = None) -> np.ndarray:
+        spark = self._active_spark(spark)
+        doc = json.loads(self._read_small(spark, _SIDECAR))
+        return np.asarray(doc["centroids"], dtype=float)
 
-    def centroids(self) -> np.ndarray:
-        with open(self._sidecar_path()) as f:
-            return np.asarray(json.load(f)["centroids"], dtype=float)
+    # ---------------------------------------------------------------- lock
+
+    def _acquire_lock(self, spark: SparkSession) -> None:
+        fs, jpath = self._fs(spark, _LOCK)
+        root_fs, root = self._fs(spark, "")
+        root_fs.mkdirs(root)
+        # createNewFile is the atomic create-fail-if-exists primitive:
+        # exactly one of two racing writers gets True
+        if not fs.createNewFile(jpath):
+            raise ConcurrentWriteError(
+                f"another writer holds {self.path}/{_LOCK}; VectorStore is "
+                "single-writer — if the previous writer crashed, call "
+                ".unlock() to break the stale lock (staged-swap recovery "
+                "makes that safe for the data)"
+            )
+
+    def unlock(self, spark: SparkSession | None = None) -> None:
+        """Break the write lock (use after a writer crashed; see class
+        docstring for the single-writer contract)."""
+        self._delete(self._active_spark(spark), _LOCK)
+
+    # ------------------------------------------------------------ recovery
+
+    def _recover(self, spark: SparkSession) -> None:
+        """Finish (or discard) an interrupted upsert. No marker ⇒ the
+        stage write never committed: drop the stage, main data intact.
+        Marker present ⇒ the staged cells are complete and durable:
+        replay the swap (idempotent — see ``_commit_swap``)."""
+        if self._exists(spark, _MARKER):
+            plan = json.loads(self._read_small(spark, _MARKER))
+            self._commit_swap(spark, plan["staged"], plan["empty"])
+        elif self._exists(spark, _STAGE):
+            self._delete(spark, _STAGE)
+
+    def _commit_swap(self, spark: SparkSession, staged: list[int], empty: list[int]) -> None:
+        """Swap staged cell directories into place; every step is
+        idempotent so a crash mid-swap is healed by replaying:
+
+        * staged cell, stage dir present → delete dest, rename into
+          place (re-running after a crash between the two just renames);
+        * staged cell, stage dir gone → that cell already swapped, skip
+          (its dest now holds the NEW data — must not be deleted);
+        * emptied cell (upsert moved/removed every row) → delete dest
+          (re-delete is a no-op)."""
+        fs, _ = self._fs(spark, "")
+        jvm = spark.sparkContext._jvm
+        for c in empty:
+            self._delete(spark, f"cell={c}")
+        for c in staged:
+            src = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{_STAGE}/cell={c}")
+            if fs.exists(src):
+                dest = jvm.org.apache.hadoop.fs.Path(f"{self.path}/cell={c}")
+                if fs.exists(dest):
+                    fs.delete(dest, True)
+                fs.rename(src, dest)
+        self._delete(spark, _STAGE)
 
     # -------------------------------------------------------------- write
 
@@ -81,18 +203,24 @@ class VectorStore:
     ) -> int:
         """(Re)build the store: train the coarse quantizer on a bounded
         sample, assign every vector JVM-side, write partitioned by
-        ``cell``. Returns the number of cells written."""
-        cents, assigned = ivf_index(
-            emb, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
-        )
-        (
-            assigned.withColumnRenamed("__cell", "cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(self.path)
-        )
-        self._save_centroids(cents)
-        return len(cents)
+        ``cell``. Returns the number of cells written. Single-writer
+        (see class docstring)."""
+        spark = emb.sparkSession
+        self._acquire_lock(spark)
+        try:
+            cents, assigned = ivf_index(
+                emb, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+            )
+            (
+                assigned.withColumnRenamed("__cell", "cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(self.path)
+            )
+            self._save_centroids(spark, cents)
+            return len(cents)
+        finally:
+            self._delete(spark, _LOCK)
 
     def append(
         self,
@@ -102,10 +230,17 @@ class VectorStore:
         """Append-only fast path (ids known to be new): assign vectors
         with the FROZEN centroids (no retrain — cells stay stable);
         only the touched cell directories gain files. For replace-by-id
-        semantics use :meth:`upsert`."""
-        cents = self.centroids()
-        assigned = emb.withColumn("cell", ivf_cell_expr(vec_col, cents))
-        assigned.write.mode("append").partitionBy("cell").parquet(self.path)
+        semantics use :meth:`upsert`. Single-writer (see class
+        docstring)."""
+        spark = emb.sparkSession
+        self._acquire_lock(spark)
+        try:
+            self._recover(spark)
+            cents = self.centroids(spark)
+            assigned = emb.withColumn("cell", ivf_cell_expr(vec_col, cents))
+            assigned.write.mode("append").partitionBy("cell").parquet(self.path)
+        finally:
+            self._delete(spark, _LOCK)
 
     def upsert(
         self,
@@ -118,47 +253,80 @@ class VectorStore:
         stored version, including one whose new embedding moves it to a
         different cell. Touched cells = cells the new rows land in ∪
         cells holding old versions of those ids (found via a left-semi
-        join — never an id collect); exactly those partition
-        directories are deleted and rewritten, everything else is
-        untouched — including a cell the move EMPTIED, which dynamic
-        partition overwrite alone would have left holding the stale row
-        (a partition absent from the written data is never touched by
-        it). Ids repeated WITHIN the incoming batch collapse to one
-        arbitrary row first (a DataFrame has no order, so there is no
-        meaningful "last write" inside a batch). The merged frame is
-        localCheckpoint-materialized before the directories are
-        cleared because it reads the same files it replaces; on
-        Iceberg this whole method is a single ``MERGE INTO`` with no
-        staging."""
+        join — never an id collect); exactly those cell partitions are
+        rewritten, everything else untouched — including a cell the
+        move EMPTIED (dynamic partition overwrite alone would have left
+        its stale row). Ids repeated WITHIN the incoming batch collapse
+        to one arbitrary row first (a DataFrame has no order, so there
+        is no meaningful "last write" inside a batch).
+
+        Durability (stage-then-swap): the merged cells are written to
+        ``_upsert_stage/`` FIRST — a directory parquet reads ignore
+        (underscore prefix) and whose writes never overlap the files
+        being read — then a ``_READY`` marker records the staged/emptied
+        cell plan, and only then are the old cell directories swapped
+        out (delete + rename per cell). A crash before the marker
+        leaves the store untouched (stage is discarded on next open); a
+        crash after it is completed by ``_recover`` on the next
+        open — no point loses data in any window, matching the
+        reference's durable Qdrant upsert. Single-writer (see class
+        docstring); on Iceberg this whole method is one ``MERGE INTO``."""
         spark = emb.sparkSession
-        cents = self.centroids()
-        new = emb.dropDuplicates([id_col]).withColumn(
-            "cell", ivf_cell_expr(vec_col, cents)
-        )
-        table = self.read(spark)
-        ids = new.select(id_col).distinct()
-        touched = {
-            int(r[0])
-            for r in table.join(ids, id_col, "left_semi")
-            .select("cell")
-            .distinct()
-            .collect()
-        } | {int(r[0]) for r in new.select("cell").distinct().collect()}
-        cells = sorted(touched)
-        kept = table.filter(F.col("cell").isin(cells)).join(ids, id_col, "left_anti")
-        merged = kept.unionByName(new.select(*kept.columns)).localCheckpoint()
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        for c in cells:
-            jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/cell={c}")
-            fs = jpath.getFileSystem(conf)
-            if fs.exists(jpath):
-                fs.delete(jpath, True)
-        merged.write.mode("append").partitionBy("cell").parquet(self.path)
+        self._acquire_lock(spark)
+        try:
+            self._recover(spark)
+            cents = self.centroids(spark)
+            new = emb.dropDuplicates([id_col]).withColumn(
+                "cell", ivf_cell_expr(vec_col, cents)
+            )
+            table = self.read(spark, _recover=False)
+            ids = new.select(id_col).distinct()
+            touched = {
+                int(r[0])
+                for r in table.join(ids, id_col, "left_semi")
+                .select("cell")
+                .distinct()
+                .collect()
+            } | {int(r[0]) for r in new.select("cell").distinct().collect()}
+            cells = sorted(touched)
+            kept = table.filter(F.col("cell").isin(cells)).join(
+                ids, id_col, "left_anti"
+            )
+            merged = kept.unionByName(new.select(*kept.columns))
+            stage = f"{self.path}/{_STAGE}"
+            (
+                merged.write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(stage)
+            )
+            # the stage write is durably committed; record the swap plan —
+            # cells with staged data vs cells the upsert emptied (Spark
+            # writes no directory for a partition with zero rows)
+            staged = [c for c in cells if self._exists(spark, f"{_STAGE}/cell={c}")]
+            empty = [c for c in cells if c not in set(staged)]
+            self._write_small(
+                spark, _MARKER, json.dumps({"staged": staged, "empty": empty})
+            )
+            self._commit_swap(spark, staged, empty)
+        finally:
+            self._delete(spark, _LOCK)
 
     # -------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, _recover: bool = True) -> DataFrame:
+        if _recover and self._exists(spark, _MARKER):
+            # a leftover marker means a writer died mid-swap: finish it —
+            # but only under the lock, so we never race a LIVE writer's
+            # own swap (if the lock is held, that writer will finish)
+            try:
+                self._acquire_lock(spark)
+            except ConcurrentWriteError:
+                pass
+            else:
+                try:
+                    self._recover(spark)
+                finally:
+                    self._delete(spark, _LOCK)
         return spark.read.parquet(self.path)
 
     def query(
@@ -174,6 +342,6 @@ class VectorStore:
         ``cell`` predicate hits a PARTITION column, so the scan's
         ``PartitionFilters`` prune every other directory before any
         file is opened."""
-        cells = nearest_cells(self.centroids(), query_vec, nprobe)
+        cells = nearest_cells(self.centroids(spark), query_vec, nprobe)
         probe = self.read(spark).filter(F.col("cell").isin(cells))
         return cosine_topk(probe, query_vec, k, id_col, vec_col)

@@ -172,3 +172,118 @@ def test_upsert_clears_emptied_cell_and_collapses_batch_dups(spark, tmp_path):
     assert len(rows) == 1
     assert float(np.asarray(rows[0]["embedding"]).max()) <= 1.0  # new version
     assert table.count() == 41
+
+
+def test_upsert_crash_mid_swap_loses_nothing(spark, tmp_path, monkeypatch):
+    """Round-3 verdict weak #1: the old upsert deleted cell dirs before
+    rewriting them from an in-memory localCheckpoint — a crash in that
+    window lost every stored row of the touched cells. The staged-swap
+    upsert must survive the WORST window: stage committed, marker
+    written, every old touched-cell directory already deleted, nothing
+    renamed yet — the next open replays the swap from the durable stage
+    and no row is lost."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vs"))
+    vs.write(emb, n_centroids=N_CELLS)
+    n0 = vs.read(spark).count()
+
+    e3 = emb.filter(F.col("vec_id") == 3).first()
+    e7 = emb.filter(F.col("vec_id") == 7).first()
+    incoming = spark.createDataFrame(
+        [(3, e7["embedding"], e3["label"]), (20001, e3["embedding"], e3["label"])],
+        emb.schema,
+    )
+
+    real_swap = VectorStore._commit_swap
+
+    def crash_after_deletes(self, spark_, staged, empty):
+        # replicate the lethal prefix of the swap: delete EVERY old
+        # touched-cell directory, then die before any rename
+        for c in list(staged) + list(empty):
+            self._delete(spark_, f"cell={c}")
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(VectorStore, "_commit_swap", crash_after_deletes)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        vs.upsert(incoming)
+    monkeypatch.setattr(VectorStore, "_commit_swap", real_swap)
+
+    # a fresh open heals: read() finds the marker and replays the swap
+    recovered = VectorStore(vs.path)
+    table = recovered.read(spark)
+    assert table.count() == n0 + 1
+    assert table.filter(F.col("vec_id") == 3).count() == 1
+    assert list(table.filter(F.col("vec_id") == 3).first()["embedding"]) == list(
+        e7["embedding"]
+    )
+    assert table.filter(F.col("vec_id") == 20001).count() == 1
+    # stage + marker are cleaned up; a second upsert works normally
+    import os
+
+    assert not os.path.exists(f"{vs.path}/_upsert_stage")
+    recovered.upsert(
+        spark.createDataFrame([(20002, e3["embedding"], 0)], emb.schema)
+    )
+    assert recovered.read(spark).count() == n0 + 2
+
+
+def test_upsert_crash_before_stage_commit_keeps_old_data(spark, tmp_path, monkeypatch):
+    """A crash BEFORE the marker is written (stage incomplete) must
+    leave the store exactly as it was: the next open discards the
+    half-written stage and the upsert can simply be re-run."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vs"))
+    vs.write(emb, n_centroids=N_CELLS)
+    n0 = vs.read(spark).count()
+    before = {r["vec_id"] for r in vs.read(spark).select("vec_id").collect()}
+
+    e3 = emb.filter(F.col("vec_id") == 3).first()
+    incoming = spark.createDataFrame([(30001, e3["embedding"], 0)], emb.schema)
+
+    real_write_small = VectorStore._write_small
+
+    def crash_at_marker(self, spark_, rel, text):
+        if rel.endswith("_READY"):
+            raise RuntimeError("simulated crash before marker")
+        return real_write_small(self, spark_, rel, text)
+
+    monkeypatch.setattr(VectorStore, "_write_small", crash_at_marker)
+    with pytest.raises(RuntimeError, match="before marker"):
+        vs.upsert(incoming)
+    monkeypatch.setattr(VectorStore, "_write_small", real_write_small)
+
+    table = VectorStore(vs.path).read(spark)
+    assert table.count() == n0
+    assert {r["vec_id"] for r in table.select("vec_id").collect()} == before
+    # upsert re-runs cleanly (stage leftovers were discarded lazily)
+    vs.upsert(incoming)
+    assert vs.read(spark).count() == n0 + 1
+
+
+def test_second_writer_fails_fast_and_unlock_breaks_stale_lock(spark, tmp_path):
+    """Single-writer contract: while one writer holds the lock a second
+    write/append/upsert raises ConcurrentWriteError instead of
+    interleaving deletes; unlock() breaks a stale (crashed-writer)
+    lock."""
+    from hdfs_anomaly_detection_spark.sources import ConcurrentWriteError
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vs"))
+    vs.write(emb, n_centroids=N_CELLS)
+
+    # simulate a concurrent (or crashed) writer holding the sentinel
+    vs._acquire_lock(spark)
+    e3 = emb.filter(F.col("vec_id") == 3).first()
+    one = spark.createDataFrame([(40001, e3["embedding"], 0)], emb.schema)
+    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+        vs.upsert(one)
+    with pytest.raises(ConcurrentWriteError):
+        vs.append(one)
+    with pytest.raises(ConcurrentWriteError):
+        vs.write(emb, n_centroids=N_CELLS)
+    # readers never take the lock
+    assert vs.read(spark).count() > 0
+
+    vs.unlock(spark)
+    vs.upsert(one)
+    assert vs.read(spark).filter(F.col("vec_id") == 40001).count() == 1
