@@ -215,21 +215,78 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking: only
-    pairs sharing the exact signature bucket are scored (the reference's
+    pairs colliding in a signature bucket are scored (the reference's
     ≥0.98 embedding-reuse check, ``anomaly_detection_service.py:440-454``).
-    Returns (id_a, id_b, sim)."""
-    dim = len(emb.select(vec_col).first()[0])
+    Returns (id_a, id_b, sim).
+
+    Shuffle shape (mirrors ``dedup.minhash_lsh_candidate_pairs``, the
+    r1-established pattern): the bucket self-join carries ONLY
+    (id, band, band-signature) — never the vector, which at 384 floats
+    is ~1.5 KB/row and would otherwise ride BOTH sides of the exchange
+    and every pre-filter joined row. The deduplicated candidate pairs
+    (a tiny frame) are then joined back to the (id, vector) projection
+    once per side for the exact cosine — joins whose probe side is
+    proportional to |candidates|, with the vector side a plain scan.
+
+    Recall model — exact-bucket blocking (``n_bands=1``) is a
+    conjunction: a pair is a candidate only if ALL ``n_planes`` sign
+    bits agree. For a pair at angle θ each hyperplane agrees with
+    probability p = 1 − θ/π, so P(candidate) = p^n_planes — at
+    sim 0.95 (θ ≈ 0.318 rad, p ≈ 0.899) that is ~0.43 for 8 planes:
+    near-dups straddling any single plane are missed. ``n_bands > 1``
+    splits the ``n_planes`` bits into bands of r = n_planes/n_bands
+    bits and a pair colliding in ANY band is a candidate
+    (P = 1 − (1 − p^r)^b, the banded-MinHash OR-of-ANDs floor):
+    8 planes / 4 bands lifts sim-0.95 recall to ~0.97 at the cost of
+    ~4× candidate volume. Choose by corpus: blocking is a
+    recall/candidate-count dial, the exact cosine verify keeps
+    precision at 1.0 either way."""
+    if n_planes % n_bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+    r = n_planes // n_bands
+    head = emb.select(vec_col).first()
+    if head is None:  # empty collection: no pairs, typed empty result
+        return emb.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+    dim = len(head[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    tagged = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+    sigs = emb.select(
+        F.col(id_col).alias("id"),
         lsh_signature_expr(vec_col, planes).alias("sig"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
-    sim = F.round(cosine_sim_expr(F.col("a.v"), F.col("b.v")), 6).alias("sim")
+    # band j = bits [j*r, (j+1)*r) of the packed signature — id + two
+    # small ints per row is ALL the candidate join ever shuffles
+    band_mask = (1 << r) - 1
+    bands_arr = F.array(
+        *[
+            F.shiftright(F.col("sig"), j * r).bitwiseAND(F.lit(band_mask))
+            for j in range(n_bands)
+        ]
+    )
+    banded = sigs.select("id", F.posexplode(bands_arr).alias("band", "bs"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bs") == F.col("b.bs"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_sim_expr(F.col("va"), F.col("vb")), 6).alias("sim")
     return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim)
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim)
         .filter(F.col("sim") >= threshold)
     )
