@@ -260,3 +260,35 @@ def row_level(checks: list[Check]) -> list[Check]:
 
 def of_type(checks: list[Check], t: type) -> list[Check]:
     return [c for c in checks if isinstance(c, t)]
+
+
+def validated_columns(checks: list[Check]) -> set[str]:
+    """The set of fact columns the checks actually READ — the basis for
+    content-mode fingerprints (``ValidationJob``): a change to a column
+    no check reads must not invalidate any partition.
+
+    ``SchemaConformance`` reads the schema, not row content, so it
+    contributes nothing; ``Drift`` derived metrics map to their source
+    column (``text_length`` → text; ``turn_count`` counts rows per
+    conversation, so row content beyond existence is irrelevant)."""
+    cols: set[str] = set()
+    for chk in checks:
+        name = chk.column_name()
+        if name:
+            cols.add(name)
+        if isinstance(chk, Unique):
+            cols |= set(chk.columns)
+        elif isinstance(chk, RefIntegrity):
+            cols |= set(chk.fk)
+        elif isinstance(chk, MonotonicOrder):
+            cols |= set(chk.partition_cols) | set(chk.tiebreak) | {chk.order_col}
+        elif isinstance(chk, TextEquals):
+            cols |= set(chk.keys) | {chk.column}
+        elif isinstance(chk, Drift):
+            if chk.metric == "text_length":
+                cols.add("text")
+            elif chk.metric != "turn_count":
+                cols.add(chk.metric)
+        elif isinstance(chk, Freshness):
+            cols.add(chk.ts_col)
+    return cols

@@ -74,11 +74,13 @@ class ValidationJob:
       layout every file touches every partition and a changed file
       honestly re-runs them all (over-invalidation, never staleness).
     * ``"content"`` — md5 of commutative per-partition row-hash
-      aggregates (count, bit_xor, bounded sum of xxhash64 over all
-      columns): layout-independent, detects exactly the partitions
-      whose ROWS changed even if every file was rewritten, at the cost
-      of scanning all validated columns once (same cost class as the
-      validation scan it can save).
+      aggregates (count, bit_xor, bounded sum of xxhash64) over the
+      VALIDATED columns only (the checks' read set + partition
+      identity, ``dsl.validated_columns``): layout-independent, detects
+      exactly the partitions whose checked rows changed even if every
+      file was rewritten — and ignores edits to columns no check reads
+      — at the cost of scanning the validated columns once (same cost
+      class as the validation scan it can save).
 
     Reference analogue: the Redis skip-if-seen md5 probe
     (``anomaly_detection_service.py:987-1003``) at table granularity —
@@ -123,7 +125,14 @@ class ValidationJob:
         distinct epochs from colliding into a skip."""
         pid = self.runner.pid_expr().alias("part_id")
         if self.fingerprint_mode == "content":
-            h = F.xxhash64(*[F.col(c) for c in fact.columns])
+            # hash ONLY the columns the checks read (plus partition
+            # identity): an edit to an untracked column must not
+            # invalidate partitions no check looks at. The column list
+            # itself is part of the basis, so changing the check suite
+            # (different column subset) honestly re-runs everything.
+            cols = sorted(self._content_columns(fact))
+            h = F.xxhash64(*[F.col(c) for c in cols])
+            col_basis = ",".join(cols)
             agg = (
                 fact.select(pid, h.alias("h"))
                 .groupBy("part_id")
@@ -140,7 +149,7 @@ class ValidationJob:
             )
             return {
                 int(r["part_id"]): hashlib.md5(
-                    f"content:{basis_salt}:{r['n']}:{r['x']}:{r['s']}".encode()
+                    f"content:{col_basis}:{basis_salt}:{r['n']}:{r['x']}:{r['s']}".encode()
                 ).hexdigest()
                 for r in agg
             }
@@ -165,6 +174,24 @@ class ValidationJob:
                 (basis_salt + ":" + basis).encode()
             ).hexdigest()
         return out
+
+    def _content_columns(self, fact: DataFrame) -> set[str]:
+        """Columns the content fingerprint hashes: the checks' read set
+        (``dsl.validated_columns``) ∪ partition identity (cluster key /
+        part_col) ∪ carry_cols, intersected with what the frame actually
+        has. Falls back to ALL columns if the intersection is empty
+        (a pathological no-column check suite must still fingerprint
+        something)."""
+        from hdfs_anomaly_detection_spark.constraints import dsl
+
+        wanted = dsl.validated_columns(self.runner.checks)
+        wanted |= set(self.runner.carry_cols)
+        if self.runner.cluster_key:
+            wanted.add(self.runner.cluster_key)
+        if self.runner.part_col:
+            wanted.add(self.runner.part_col)
+        cols = wanted & set(fact.columns)
+        return cols or set(fact.columns)
 
     def _files_frame(self, fact: DataFrame) -> DataFrame:
         """(part_id, files) aggregate behind the files-mode fingerprint,

@@ -116,3 +116,105 @@ def test_pre_clustered_validation_zero_fact_exchange(bucketed):
     assert av.equals(bv)
     a.unpersist()
     b.unpersist()
+
+
+def test_pre_clustered_job_incremental_end_to_end(spark, tmp_path):
+    """VERDICT r3 task 5: compose the two round-3 features end-to-end.
+    Layout = partitioned by the verdict part_id (directory per resume
+    unit, so files-mode fingerprints are PRECISE) and bucketed by
+    conv_id (so pre_clustered validation runs with zero exchanges).
+    Asserts: zero-exchange flagged plan, full run → no-op rerun, an
+    in-place rewrite of ONE part_id directory re-runs exactly that
+    partition — and the incremental outputs equal a from-scratch run."""
+    import pandas as pd
+
+    from hdfs_anomaly_detection_spark.constraints import (
+        ValidationRunner,
+        default_transcript_checks,
+    )
+    from hdfs_anomaly_detection_spark.manifest import ValidationJob
+
+    n_buckets = 8
+    fx = build_fixture(
+        spark, FixtureConfig(n_conversations=200, null_text_rate=0.02)
+    )
+    runner = ValidationRunner(
+        default_transcript_checks(dims=False),
+        n_buckets=n_buckets,
+        pre_clustered=True,
+    )
+    cols = fx.fact.columns
+    (
+        fx.fact.withColumn("pb", runner.pid_expr())
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id")
+        .format("parquet")
+        .saveAsTable("t_pc_inc")
+    )
+    try:
+        fact = read_bucketed(spark, "t_pc_inc").select(*cols)
+
+        # 1. the bucketed scan replaces the runner's exchange — even for
+        # the pending-subset filter the incremental run applies
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            flagged, _ = runner._flagged(fact)
+            plan = flagged._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:3000]
+            sub = fact.filter(runner.pid_expr().isin([3]))
+            flagged_sub, _ = runner._flagged(sub)
+            plan_sub = flagged_sub._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan_sub, plan_sub[:3000]
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+        # 2. full run, then an unchanged input is a complete no-op
+        job = ValidationJob(runner, str(tmp_path / "out"))  # files mode
+        s1 = job.run(fact, run_id="r1")
+        assert s1["processed"] == n_buckets and s1["skipped"] == 0
+        s2 = job.run(fact, run_id="r2")
+        assert s2["processed"] == 0 and s2["skipped"] == n_buckets
+
+        # 3. rewrite ONE part_id's partition (new files, same rows but
+        # one conversation's text nulled at turn 0) through the bucketed
+        # writer — INSERT OVERWRITE with dynamic partition overwrite
+        # keeps the bucket file layout valid
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        sub3 = spark.read.parquet(f"{warehouse}/t_pc_inc/pb=3").toPandas()
+        conv = sub3["conv_id"].iloc[0]
+        sub3.loc[(sub3["conv_id"] == conv) & (sub3["turn_idx"] == 0), "text"] = None
+        old_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.createDataFrame(sub3[cols])
+                .withColumn("pb", F.lit(3))
+                .write.mode("overwrite")
+                .insertInto("t_pc_inc")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_pom)
+        spark.sql("REFRESH TABLE t_pc_inc")
+
+        fact3 = read_bucketed(spark, "t_pc_inc").select(*cols)
+        s3 = job.run(fact3, run_id="r3")
+        assert s3["processed"] == 1 and s3["skipped"] == n_buckets - 1
+        man = job.manifest(spark).toPandas()
+        assert set(man[man["run_id"] == "r3"]["part_id"]) == {3}
+
+        # 4. incremental outputs == from-scratch run on the modified table
+        direct = ValidationRunner(
+            default_transcript_checks(dims=False), n_buckets=n_buckets
+        ).run(spark.read.parquet(f"{warehouse}/t_pc_inc").select(*cols))
+        key = ["part_id", "check_id", "conv_id", "turn_idx", "column", "detail"]
+        got = job.violations(spark).toPandas()[key].astype(str).sort_values(key)
+        exp = direct.violations.toPandas()[key].astype(str).sort_values(key)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True)
+        )
+        direct.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pc_inc")

@@ -202,3 +202,77 @@ def test_files_fingerprint_detects_name_stable_rewrite(setup, spark, tmp_path):
 
     changed = {p for p in fp1 if fp2.get(p) != fp1[p]}
     assert changed, "name-stable rewrite went undetected"
+
+
+def test_content_mode_ignores_unvalidated_column_edit(setup, spark, tmp_path):
+    """VERDICT r3 task 6: content fingerprints hash only the columns the
+    checks READ. Rewriting the table (all-new files) with ONLY an
+    untracked column edited must be a complete skip; editing a validated
+    column in the same layout must re-run — the fingerprint basis is the
+    checks' column set, not the physical row."""
+    import pyspark.sql.functions as F
+
+    from hdfs_anomaly_detection_spark.constraints import dsl
+
+    _, fact, runner, _ = setup
+    assert "meta" not in dsl.validated_columns(runner.checks)
+
+    base = fact.withColumn("meta", F.lit("v1"))
+    p1 = str(tmp_path / "meta1")
+    base.write.parquet(p1)
+    job = ValidationJob(
+        runner, str(tmp_path / "cc_out"), fingerprint_mode="content"
+    )
+    s1 = job.run(spark.read.parquet(p1), run_id="full")
+    assert s1["processed"] == N_BUCKETS
+
+    # brand-new file set, only the untracked column differs → no-op
+    p2 = str(tmp_path / "meta2")
+    base.withColumn("meta", F.lit("v2")).write.parquet(p2)
+    s2 = job.run(spark.read.parquet(p2), run_id="noop")
+    assert s2["processed"] == 0 and s2["skipped"] == N_BUCKETS
+
+    # same rewrite but a VALIDATED column changes in one conversation →
+    # exactly that partition re-runs
+    conv = fact.select("conv_id").first()[0]
+    p3 = str(tmp_path / "meta3")
+    base.withColumn("meta", F.lit("v3")).withColumn(
+        "role",
+        F.when(F.col("conv_id") == conv, F.lit("bogus")).otherwise(F.col("role")),
+    ).write.parquet(p3)
+    s3 = job.run(spark.read.parquet(p3), run_id="inc")
+    assert s3["processed"] == 1 and s3["skipped"] == N_BUCKETS - 1
+
+
+def test_validated_columns_covers_every_check_type():
+    from hdfs_anomaly_detection_spark.constraints import dsl
+    from hdfs_anomaly_detection_spark.constraints.dsl import (
+        Drift,
+        Freshness,
+        MonotonicOrder,
+        NotNull,
+        RefIntegrity,
+        SchemaConformance,
+        TextEquals,
+        Unique,
+    )
+
+    got = dsl.validated_columns(
+        [
+            NotNull("n", column="a"),
+            Unique("u", columns=("k1", "k2")),
+            RefIntegrity("r", fk=("fk1",), dim="d", pk=("pk",)),
+            MonotonicOrder("m", partition_cols=("pc",), order_col="oc", tiebreak=("tb",)),
+            TextEquals("t", column="txt", keys=("k1", "k3")),
+            Drift("dl", metric="text_length"),
+            Drift("dc", metric="turn_count"),
+            Drift("dn", metric="score"),
+            Freshness("f", ts_col="tsc"),
+            SchemaConformance("s", expected_ddl="a string"),
+        ]
+    )
+    # turn_count reads no content column; SchemaConformance reads none
+    assert got == {
+        "a", "k1", "k2", "fk1", "pc", "oc", "tb", "txt", "k3", "text",
+        "score", "tsc",
+    }
