@@ -16,10 +16,12 @@ from hdfs_anomaly_detection_spark.operators.sampling import (  # noqa: F401
     uniform01,
 )
 from hdfs_anomaly_detection_spark.operators.similarity import (  # noqa: F401
+    batch_topk,
     cosine_sim_expr,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_index,
+    ivf_probe_cells_expr,
     ivf_topk,
     lsh_bucketed_topk,
 )

@@ -179,10 +179,72 @@ def ivf_index(
 def nearest_cells(cents: np.ndarray, query_vec, nprobe: int) -> list[int]:
     """The ``nprobe`` cell ids nearest the query (L2 on centroids) —
     shared by ``ivf_topk`` and ``sources.vector_store.VectorStore`` so
-    probe selection can't drift between the two."""
+    probe selection can't drift between the two. Stable sort with
+    cell-id tie-break, matching ``ivf_probe_cells_expr``'s struct
+    ordering so the driver-side and JVM-side selections agree exactly."""
     qv = np.asarray(query_vec, dtype=float)
-    order = np.argsort(((cents - qv) ** 2).sum(axis=1))
+    order = np.argsort(((cents - qv) ** 2).sum(axis=1), kind="stable")
     return [int(c) for c in order[: min(nprobe, len(cents))]]
+
+
+def ivf_probe_cells_expr(vec_col: str, cents: np.ndarray, nprobe: int) -> Column:
+    """``nearest_cells`` as a Catalyst expression: array of
+    (distance, cell) structs over the K literal centroids, array_sort
+    (lexicographic struct order = distance then cell id — the same
+    tie-break as the stable NumPy path), slice ``nprobe``, project the
+    cell ids. Whole-stage codegen; used to assign every row of a QUERY
+    table its probe list without any driver loop."""
+    entries = []
+    for i, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("c")))
+    arr = F.array_sort(F.array(*entries))
+    n = min(nprobe, len(cents))
+    return F.transform(F.slice(arr, 1, n), lambda s: s["c"])
+
+
+def batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k for a whole TABLE of queries in one distributed plan
+    — the batch analogue of ``cosine_topk`` (which is one driver-side
+    query vector). Returns (qid, vec_id, sim, rk), k rows per query.
+
+    Scale shape: the query table is broadcast (queries are the small
+    side by construction — a scoring batch, not the corpus) so the
+    corpus scan is embarrassingly parallel with NO shuffle of
+    embeddings; the per-query top-k is a rank-filter adjacent to the
+    window, which Spark plans as a Partial WindowGroupLimit — each task
+    keeps a k-heap per qid map-side and only k·P·|Q| candidate rows
+    reach the one (qid)-exchange of the final rank. Reference analogue:
+    the per-prediction Qdrant kNN vote loop
+    (``anomaly_detection_service.py:316-438``), batched."""
+    q = F.broadcast(
+        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv"))
+    )
+    sim = cosine_sim_expr(F.col(vec_col), F.col("__qv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = emb.crossJoin(q).select(
+        "qid", F.col(id_col).alias("vec_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def ivf_topk(

@@ -1583,6 +1583,40 @@ def q_rank_suppliers(spark, sf_dir):
     return s.select("s_suppkey", "s_name", F.rank().over(w).alias("rk"))
 
 
+@register(
+    "s_batch_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 7, 19)
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(cast(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+  FROM embeddings e, q
+)
+SELECT qid, vec_id, sim, rk FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+) t WHERE rk <= 5
+""",
+)
+def s_batch_topk(spark, sf_dir):
+    # batched ANN: one distributed plan scores a TABLE of query vectors
+    # (the reference's per-prediction Qdrant loop, batched —
+    # anomaly_detection_service.py:316-438). Broadcast query side, no
+    # embedding shuffle, Partial WindowGroupLimit per-qid top-k (plan
+    # pinned in tests/test_vector_store.py).
+    from hdfs_anomaly_detection_spark.operators import batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 19])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return batch_topk(emb, queries, k=5)
+
+
 # ===========================================================================
 # Registry ordering vs the driver's correctness-file cap
 # ===========================================================================
@@ -1602,11 +1636,15 @@ def q_rank_suppliers(spark, sf_dir):
 #                           keeps the content-hash dedup family
 #   q_deterministic_sample — hash-gate sample; q_seeded_shard /
 #                           q_stratified_sample keep the sampling family
+#   q_top_n               — global ORDER BY…LIMIT; q_topk_per_group (window
+#                           top-k) and the TakeOrderedAndProject shape inside
+#                           s_cosine_topk keep the ranking family
 #
 # All five stay registered (oracle_check.py sweeps every entry either way);
 # demotion only affects which 50 the driver snapshots.
 _DEMOTED = [
     "v_turn_range_rows",
+    "q_top_n",
     "q_group_composite",
     "q_histogram_value",
     "d_dedup_keep_first",

@@ -52,13 +52,15 @@ from __future__ import annotations
 import json
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdfs_anomaly_detection_spark.operators.similarity import (
+    cosine_sim_expr,
     cosine_topk,
     ivf_cell_expr,
     ivf_index,
+    ivf_probe_cells_expr,
     nearest_cells,
 )
 
@@ -345,3 +347,57 @@ class VectorStore:
         cells = nearest_cells(self.centroids(spark), query_vec, nprobe)
         probe = self.read(spark).filter(F.col("cell").isin(cells))
         return cosine_topk(probe, query_vec, k, id_col, vec_col)
+
+    def query_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Top-k for a whole TABLE of query vectors in ONE distributed
+        plan — the scale path when the workload is "score a batch"
+        (the reference's per-prediction loop,
+        ``anomaly_detection_service.py:316-438``, issues one Qdrant
+        call per line; a driver loop over :meth:`query` would do the
+        same). Returns (qid, vec_id, sim, rk), k rows per query.
+
+        Shape: each query row gets its ``nprobe`` probe cells JVM-side
+        (``ivf_probe_cells_expr`` — no driver loop, no collect),
+        explodes to (qid, cell) and broadcast-joins the store on the
+        ``cell`` PARTITION column. The union of all queries' probe
+        cells is applied as a static partition filter (one O(|cells|)
+        driver reduction over the broadcast-sized query batch), so the
+        scan opens only probed directories; the per-(qid, cell)
+        candidate scoring then happens where the data lives, and the
+        rank-filter-adjacent window plans a Partial WindowGroupLimit
+        (map-side k-heap per qid) above it. ``nprobe >= n_centroids``
+        is exactly the brute-force answer for every query (the
+        equivalence the tests pin)."""
+        spark = self._active_spark(queries.sparkSession)
+        cents = self.centroids(spark)
+        q = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).alias("__qv"),
+            F.explode(
+                ivf_probe_cells_expr(qvec_col, cents, nprobe)
+            ).alias("cell"),
+        )
+        # static union-of-probes partition filter: the query batch is
+        # broadcast-sized by construction, so collecting its distinct
+        # cells is O(n_centroids) — and it turns the join's partition
+        # pruning from dynamic (DPP, runtime-dependent) into a plain
+        # PartitionFilters prune the scan does before opening any file
+        probed = sorted({int(r[0]) for r in q.select("cell").distinct().collect()})
+        table = self.read(spark).filter(F.col("cell").isin(probed))
+        sim = F.round(cosine_sim_expr(F.col(vec_col), F.col("__qv")), 4)
+        scored = table.join(F.broadcast(q), "cell").select(
+            "qid", F.col(id_col).alias("vec_id"), sim.alias("sim")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
+        )

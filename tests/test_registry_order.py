@@ -38,6 +38,7 @@ UNIQUE_FAMILY = [
     "s_ivf_topk",
     "s_lsh_topk",
     "s_near_dup_pairs",
+    "s_batch_topk",
     "s_centroid_stats",
     "s_centroid_outliers",
     "s_embedding_norm_stats",

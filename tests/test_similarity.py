@@ -201,3 +201,50 @@ def test_edge_empty_and_tiny_inputs(spark, emb):
     empty_pairs = embedding_near_dup_pairs(df.limit(0), threshold=0.9)
     assert empty_pairs.count() == 0
     assert empty_pairs.columns == ["id_a", "id_b", "sim"]
+
+
+def test_batch_topk_matches_per_query(spark, emb):
+    """batch_topk over a query TABLE == cosine_topk per query vector
+    (the exactness contract of the batch plan), including rank order
+    and rounded sims."""
+    from hdfs_anomaly_detection_spark.operators import batch_topk
+
+    df, pdf, mat = emb
+    qids = [0, 5, 9]
+    queries = spark.createDataFrame(
+        [(int(i), mat[i].tolist()) for i in qids], "qid int, qvec array<double>"
+    )
+    got = batch_topk(df, queries, k=8).toPandas()
+    assert sorted(got["qid"].unique()) == qids
+    for i in qids:
+        per = cosine_topk(df, mat[i].tolist(), k=8).toPandas()
+        sub = got[got["qid"] == i].sort_values("rk")
+        assert list(sub["vec_id"]) == list(per["vec_id"])
+        assert np.allclose(sub["sim"].to_numpy(), per["sim"].to_numpy())
+        assert list(sub["rk"]) == list(range(1, 9))
+
+
+def test_ivf_probe_cells_expr_matches_nearest_cells(spark, emb):
+    """The JVM-side probe-cell assignment is bit-equal to the driver's
+    nearest_cells for every row — the no-drift contract between
+    VectorStore.query (driver path) and query_batch (expr path)."""
+    from hdfs_anomaly_detection_spark.operators import ivf_probe_cells_expr
+    from hdfs_anomaly_detection_spark.operators.similarity import (
+        _hyperplanes,
+        nearest_cells,
+    )
+
+    df, pdf, mat = emb
+    cents = _hyperplanes(mat.shape[1], 6, seed=11)  # any 6 distinct points
+    got = (
+        df.limit(50)
+        .select(
+            "vec_id",
+            ivf_probe_cells_expr("embedding", cents, 3).alias("cells"),
+        )
+        .toPandas()
+    )
+    by_id = {int(r["vec_id"]): list(r["cells"]) for _, r in got.iterrows()}
+    for vid, cells in by_id.items():
+        v = mat[pdf.index[pdf["vec_id"] == vid][0]]
+        assert cells == nearest_cells(cents, v, 3), vid

@@ -287,3 +287,74 @@ def test_second_writer_fails_fast_and_unlock_breaks_stale_lock(spark, tmp_path):
     vs.unlock(spark)
     vs.upsert(one)
     assert vs.read(spark).filter(F.col("vec_id") == 40001).count() == 1
+
+
+def test_query_batch_matches_single_query_and_prunes(spark, store):
+    """query_batch over a query TABLE == .query per vector at the same
+    nprobe (the no-drift contract between the driver-side and expr-side
+    probe selection), full-probe batch == brute force for every query,
+    and the batch scan opens ONLY the union of probed cell dirs."""
+    import numpy as np
+
+    from hdfs_anomaly_detection_spark.operators.similarity import nearest_cells
+
+    vs, emb = store
+    pdf = emb.filter(F.col("vec_id").isin([3, 11, 42])).toPandas()
+    queries = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for _, r in pdf.iterrows()
+        ],
+        "qid int, qvec array<double>",
+    )
+
+    got = vs.query_batch(queries, k=5, nprobe=2).toPandas()
+    for _, r in pdf.iterrows():
+        qv = [float(x) for x in r["embedding"]]
+        single = vs.query(spark, qv, k=5, nprobe=2).toPandas()
+        sub = got[got["qid"] == int(r["vec_id"])].sort_values("rk")
+        assert list(sub["vec_id"]) == list(single["vec_id"])
+        assert np.allclose(sub["sim"].to_numpy(), single["sim"].to_numpy())
+
+    # nprobe >= n_centroids: every query's answer is exactly brute force
+    # over the store's CURRENT contents (earlier tests may have appended)
+    stored = vs.read(spark)
+    got_all = vs.query_batch(queries, k=5, nprobe=N_CELLS).toPandas()
+    for _, r in pdf.iterrows():
+        qv = [float(x) for x in r["embedding"]]
+        exact = cosine_topk(stored, qv, k=5).toPandas()
+        sub = got_all[got_all["qid"] == int(r["vec_id"])].sort_values("rk")
+        assert list(sub["vec_id"]) == list(exact["vec_id"])
+
+    # partition pruning: the nprobe=2 batch reads only the probed dirs
+    cents = vs.centroids(spark)
+    probed = set()
+    for _, r in pdf.iterrows():
+        probed |= set(nearest_cells(cents, [float(x) for x in r["embedding"]], 2))
+    table = vs.read(spark).filter(F.col("cell").isin(sorted(probed)))
+    files = {r[0] for r in table.select(F.input_file_name()).distinct().collect()}
+    for f in files:
+        assert any(f"cell={c}/" in f for c in probed), f
+    all_files = {
+        r[0] for r in vs.read(spark).select(F.input_file_name()).distinct().collect()
+    }
+    assert len(files) < len(all_files)  # pruning actually dropped dirs
+
+
+def test_query_batch_plan_has_window_group_limit(spark, store):
+    """The per-qid top-k must plan a Partial WindowGroupLimit (map-side
+    k-heap per query) — never a global sort of all scored candidates."""
+    vs, emb = store
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    plan = (
+        vs.query_batch(q, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    wgl_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any(", Partial" in l for l in wgl_lines), plan[:3000]
+    assert any(", Final" in l for l in wgl_lines), plan[:3000]
