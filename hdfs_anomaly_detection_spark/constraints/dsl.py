@@ -269,8 +269,10 @@ def validated_columns(checks: list[Check]) -> set[str]:
 
     ``SchemaConformance`` reads the schema, not row content, so it
     contributes nothing; ``Drift`` derived metrics map to their source
-    column (``text_length`` → text; ``turn_count`` counts rows per
-    conversation, so row content beyond existence is irrelevant)."""
+    column (``text_length`` → text; ``turn_count`` groups rows by
+    conv_id — ``sketch.tdigest.metric_frame`` — so a conv_id
+    re-assignment changes the distribution and conv_id is its read
+    set)."""
     cols: set[str] = set()
     for chk in checks:
         name = chk.column_name()
@@ -287,7 +289,9 @@ def validated_columns(checks: list[Check]) -> set[str]:
         elif isinstance(chk, Drift):
             if chk.metric == "text_length":
                 cols.add("text")
-            elif chk.metric != "turn_count":
+            elif chk.metric == "turn_count":
+                cols.add("conv_id")
+            else:
                 cols.add(chk.metric)
         elif isinstance(chk, Freshness):
             cols.add(chk.ts_col)

@@ -7,6 +7,9 @@ from hdfs_anomaly_detection_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_candidate_pairs,
 )
+from hdfs_anomaly_detection_spark.operators.ranking import (  # noqa: F401
+    global_row_number,
+)
 from hdfs_anomaly_detection_spark.operators.sampling import (  # noqa: F401
     rebalance_downsample,
     seeded_shard,

@@ -129,22 +129,48 @@ def _kmeans_fit(sample: np.ndarray, k: int, n_iter: int = 8, seed: int = 42) -> 
     return cents
 
 
+def _centroids_lit(centroids: np.ndarray) -> Column:
+    """The K×dim centroid matrix as ONE array<array<double>> literal —
+    plan-size O(K·dim) DATA instead of O(K·dim) Column objects. The
+    unrolled per-centroid form built ~100k py4j expressions at the
+    README's 256×384 store scale (minutes of driver time, codegen
+    method-limit fallback). ``F.lit`` on a nested list still round-trips
+    py4j per ELEMENT (measured ~110 s at 256×384); a ``from_json`` of
+    one string literal constructs in milliseconds and Catalyst's
+    ConstantFolding collapses it to the same materialized array literal
+    at optimization time (verified: the optimized plan carries the
+    folded literal, no per-row parse), so that is the primary path."""
+    import json as _json
+
+    data = [[float(x) for x in c] for c in centroids]
+    return F.from_json(F.lit(_json.dumps(data)), "array<array<double>>")
+
+
+def _l2_dists_expr(vec_col: str, centroids: np.ndarray) -> Column:
+    """array<double> of squared L2 distances from ``vec_col`` to each
+    centroid: one ``transform`` over the nested literal, the inner sum
+    a left-to-right ``aggregate`` fold (the same order
+    ``nearest_cells`` reproduces driver-side, so probe selections
+    can't drift on near-tie distances)."""
+    return F.transform(
+        _centroids_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def ivf_cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
-    """argmin-distance cell id as a Catalyst expression: K literal
-    centroids, K zip_with/aggregate squared distances, array_position of
-    the min — whole-stage codegen, no Python in the assignment path."""
-    dists = []
-    for c in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), lit,
-                           lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-    arr = F.array(*dists)
+    """argmin-distance cell id as a Catalyst expression — whole-stage
+    codegen, no Python in the assignment path, constant-size plan (see
+    ``_centroids_lit``). Ties resolve to the first (lowest) cell id,
+    matching ``nearest_cells``."""
+    arr = _l2_dists_expr(vec_col, centroids)
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
@@ -179,34 +205,38 @@ def ivf_index(
 def nearest_cells(cents: np.ndarray, query_vec, nprobe: int) -> list[int]:
     """The ``nprobe`` cell ids nearest the query (L2 on centroids) —
     shared by ``ivf_topk`` and ``sources.vector_store.VectorStore`` so
-    probe selection can't drift between the two. Stable sort with
-    cell-id tie-break, matching ``ivf_probe_cells_expr``'s struct
-    ordering so the driver-side and JVM-side selections agree exactly."""
-    qv = np.asarray(query_vec, dtype=float)
-    order = np.argsort(((cents - qv) ** 2).sum(axis=1), kind="stable")
+    probe selection can't drift between the two. Bit-exact contract
+    with ``ivf_probe_cells_expr``: the per-centroid distance is summed
+    LEFT-TO-RIGHT (the order Catalyst's ``aggregate`` fold uses —
+    NumPy's pairwise summation can differ in the last ulp and flip a
+    near-tie), and ties sort stably by cell id, matching the struct
+    lexicographic order."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    dists = []
+    for c in cents:
+        sq = (np.asarray(c, dtype=np.float64) - qv) ** 2
+        acc = 0.0
+        for v in sq.tolist():  # sequential fold == Catalyst aggregate
+            acc += v
+        dists.append(acc)
+    order = np.argsort(dists, kind="stable")
     return [int(c) for c in order[: min(nprobe, len(cents))]]
 
 
 def ivf_probe_cells_expr(vec_col: str, cents: np.ndarray, nprobe: int) -> Column:
-    """``nearest_cells`` as a Catalyst expression: array of
-    (distance, cell) structs over the K literal centroids, array_sort
-    (lexicographic struct order = distance then cell id — the same
-    tie-break as the stable NumPy path), slice ``nprobe``, project the
-    cell ids. Whole-stage codegen; used to assign every row of a QUERY
-    table its probe list without any driver loop."""
-    entries = []
-    for i, c in enumerate(cents):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("c")))
-    arr = F.array_sort(F.array(*entries))
+    """``nearest_cells`` as a Catalyst expression: (distance, cell)
+    structs over the nested centroid literal (constant-size plan, see
+    ``_centroids_lit``), array_sort (lexicographic struct order =
+    distance then cell id — the same tie-break as the stable NumPy
+    path, over bit-identical left-to-right distance sums), slice
+    ``nprobe``, project the cell ids. Whole-stage codegen; used to
+    assign every row of a QUERY table its probe list without any
+    driver loop."""
+    dists = _l2_dists_expr(vec_col, cents)
+    entries = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("c"))
+    )
+    arr = F.array_sort(entries)
     n = min(nprobe, len(cents))
     return F.transform(F.slice(arr, 1, n), lambda s: s["c"])
 

@@ -1576,8 +1576,10 @@ def q_rank_suppliers(spark, sf_dir):
     # model-ranking table (train_line_level_ensemble_v2.py:536-546).
     # NOTE small-table-only: a global rank() window moves every row to
     # one task — fine for the supplier-sized dims it mirrors (the ranked
-    # entity is "models", cardinality ~10s); for large tables use the
-    # two-stage top-k in operators/similarity.py instead
+    # entity is "models", cardinality ~10s). For large tables use
+    # operators.ranking.global_row_number (range-exchange + offset
+    # numbering, q_global_rank) or the two-stage top-k in
+    # operators/similarity.py when only the head is needed
     s = load_table(spark, sf_dir, "supplier")
     w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return s.select("s_suppkey", "s_name", F.rank().over(w).alias("rk"))
@@ -1617,6 +1619,30 @@ def s_batch_topk(spark, sf_dir):
     return batch_topk(emb, queries, k=5)
 
 
+@register(
+    "q_global_rank",
+    """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+FROM orders
+""",
+)
+def q_global_rank(spark, sf_dir):
+    # the at-scale complement of q_rank_suppliers: a TOTAL-order global
+    # row number with NO single-partition window — range exchange +
+    # O(partitions) offsets + map-only numbering (operators/ranking.py;
+    # plan pinned free of Exchange SinglePartition in tests/test_ranking.py)
+    from hdfs_anomaly_detection_spark.operators import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    return global_row_number(
+        orders,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="rk",
+        persist_fn=_persist,
+    ).select("o_orderkey", "rk")
+
+
 # ===========================================================================
 # Registry ordering vs the driver's correctness-file cap
 # ===========================================================================
@@ -1639,12 +1665,16 @@ def s_batch_topk(spark, sf_dir):
 #   q_top_n               — global ORDER BY…LIMIT; q_topk_per_group (window
 #                           top-k) and the TakeOrderedAndProject shape inside
 #                           s_cosine_topk keep the ranking family
+#   q_conditional_agg     — conditional agg; q_time_filter_agg (filtered agg)
+#                           and q_weighted_vote (CASE-weighted agg) keep the
+#                           aggregate family
 #
 # All five stay registered (oracle_check.py sweeps every entry either way);
 # demotion only affects which 50 the driver snapshots.
 _DEMOTED = [
     "v_turn_range_rows",
     "q_top_n",
+    "q_conditional_agg",
     "q_group_composite",
     "q_histogram_value",
     "d_dedup_keep_first",

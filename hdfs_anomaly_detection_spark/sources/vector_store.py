@@ -37,7 +37,15 @@ writer fails fast with :class:`ConcurrentWriteError` instead of
 interleaving deletes and renames. A writer that crashed while holding
 the lock leaves the sentinel behind — call :meth:`unlock` to break it
 (the staged-swap recovery guarantees the data itself needs no repair).
-Readers never take the lock.
+The create-exclusive primitive is atomic on HDFS and the local FS;
+object stores without it (S3A) get best-effort locking only — use the
+Iceberg path for true multi-writer safety.
+
+Readers never take the lock, so DURABILITY ≠ reader isolation: a read
+that races a live writer's swap can observe a touched cell mid-swap
+(momentarily absent) — no data is ever durably lost, but point-in-time
+consistent reads under concurrent writes are Iceberg's job
+(snapshot isolation), not a bare parquet directory's.
 
 All sidecar/marker/lock IO goes through the Hadoop FileSystem API —
 the store works unchanged on ``hdfs://`` / ``s3a://`` paths, not just
@@ -142,9 +150,20 @@ class VectorStore:
         fs, jpath = self._fs(spark, _LOCK)
         root_fs, root = self._fs(spark, "")
         root_fs.mkdirs(root)
-        # createNewFile is the atomic create-fail-if-exists primitive:
-        # exactly one of two racing writers gets True
-        if not fs.createNewFile(jpath):
+        # create-fail-if-exists: on HDFS the namenode create is atomic
+        # and on the local FS the race loser gets False or a
+        # FileAlreadyExistsException from the non-overwriting create —
+        # either way exactly one writer proceeds. Object stores without
+        # atomic create-exclusive (S3A) make this BEST-EFFORT only
+        # (the class docstring says so); for true multi-writer safety
+        # use the Iceberg path, whose commits are the lock.
+        try:
+            ok = bool(fs.createNewFile(jpath))
+        except Exception as e:  # py4j-wrapped FileAlreadyExistsException
+            if "exist" not in str(e).lower():
+                raise  # a real IO failure, not a lost race
+            ok = False
+        if not ok:
             raise ConcurrentWriteError(
                 f"another writer holds {self.path}/{_LOCK}; VectorStore is "
                 "single-writer — if the previous writer crashed, call "
@@ -206,16 +225,34 @@ class VectorStore:
         """(Re)build the store: train the coarse quantizer on a bounded
         sample, assign every vector JVM-side, write partitioned by
         ``cell``. Returns the number of cells written. Single-writer
-        (see class docstring)."""
+        (see class docstring).
+
+        The previous contents are cleared EXPLICITLY (every child of the
+        store dir except the write lock) before an append-mode write —
+        ``mode("overwrite")`` on the root would delete the
+        ``_WRITE_LOCK`` sentinel itself mid-job, silently voiding the
+        single-writer contract for the whole rebuild. Consequences to
+        know: a rebuild is NOT crash-atomic (a crash mid-write leaves a
+        partial store with no sidecar — rebuild again, or build into a
+        fresh path and switch paths for atomicity), and ``emb`` must not
+        be a frame read FROM this store's own path (the explicit clear
+        removes the source files out from under the lazy scan; use
+        :meth:`upsert` for self-referential rewrites)."""
         spark = emb.sparkSession
         self._acquire_lock(spark)
         try:
+            self._recover(spark)  # never leave a stale swap marker behind
             cents, assigned = ivf_index(
                 emb, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
             )
+            fs, root = self._fs(spark, "")
+            if fs.exists(root):
+                for st in fs.listStatus(root):
+                    if st.getPath().getName() != _LOCK:
+                        fs.delete(st.getPath(), True)
             (
                 assigned.withColumnRenamed("__cell", "cell")
-                .write.mode("overwrite")
+                .write.mode("append")
                 .partitionBy("cell")
                 .parquet(self.path)
             )
@@ -385,7 +422,9 @@ class VectorStore:
             F.explode(
                 ivf_probe_cells_expr(qvec_col, cents, nprobe)
             ).alias("cell"),
-        )
+        ).localCheckpoint()  # evaluate the probe assignment ONCE — the
+        # collect below and the broadcast join both reuse it (queries
+        # are broadcast-sized by contract, so materializing is cheap)
         # static union-of-probes partition filter: the query batch is
         # broadcast-sized by construction, so collecting its distinct
         # cells is O(n_centroids) — and it turns the join's partition

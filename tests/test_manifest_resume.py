@@ -271,8 +271,8 @@ def test_validated_columns_covers_every_check_type():
             SchemaConformance("s", expected_ddl="a string"),
         ]
     )
-    # turn_count reads no content column; SchemaConformance reads none
+    # turn_count groups by conv_id; SchemaConformance reads no content
     assert got == {
         "a", "k1", "k2", "fk1", "pc", "oc", "tb", "txt", "k3", "text",
-        "score", "tsc",
+        "conv_id", "score", "tsc",
     }

@@ -39,6 +39,7 @@ UNIQUE_FAMILY = [
     "s_lsh_topk",
     "s_near_dup_pairs",
     "s_batch_topk",
+    "q_global_rank",
     "s_centroid_stats",
     "s_centroid_outliers",
     "s_embedding_norm_stats",

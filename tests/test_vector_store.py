@@ -358,3 +358,57 @@ def test_query_batch_plan_has_window_group_limit(spark, store):
     wgl_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
     assert any(", Partial" in l for l in wgl_lines), plan[:3000]
     assert any(", Final" in l for l in wgl_lines), plan[:3000]
+
+
+def test_write_holds_lock_through_data_write(spark, tmp_path, monkeypatch):
+    """Review-found: mode('overwrite') on the store root deleted the
+    _WRITE_LOCK sentinel itself mid-rebuild, silently voiding the
+    single-writer contract. The rebuild now clears contents explicitly
+    and the lock must still exist when the data write has finished
+    (observed at the _save_centroids step, which runs after it)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vs"))
+    seen = {}
+    real_save = VectorStore._save_centroids
+
+    def check_then_save(self, spark_, cents):
+        seen["lock_after_data_write"] = self._exists(spark_, "_WRITE_LOCK")
+        return real_save(self, spark_, cents)
+
+    monkeypatch.setattr(VectorStore, "_save_centroids", check_then_save)
+    vs.write(emb, n_centroids=N_CELLS)
+    assert seen["lock_after_data_write"] is True
+    # and the lock is released at the end
+    assert not vs._exists(spark, "_WRITE_LOCK")
+
+
+def test_stale_upsert_marker_does_not_corrupt_rebuild(spark, tmp_path):
+    """Review-found: a crashed upsert's _READY marker survived a
+    rebuild (dynamic partitionOverwriteMode leaves underscore dirs),
+    and the NEXT read() replayed the stale swap plan over the fresh
+    store — deleting new cells. write() now recovers/clears the marker,
+    so the rebuilt store must read back complete."""
+    import json as _json
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vs"))
+    vs.write(emb, n_centroids=N_CELLS)
+    n = emb.count()
+
+    # simulate the crashed-upsert state: marker claims every cell was
+    # emptied (the worst replay: delete them all)
+    vs._write_small(
+        spark,
+        "_upsert_stage/_READY",
+        _json.dumps({"staged": [], "empty": list(range(N_CELLS))}),
+    )
+    old_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        vs.write(emb, n_centroids=N_CELLS)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_pom)
+    assert not vs._exists(spark, "_upsert_stage/_READY")
+    assert VectorStore(vs.path).read(spark).count() == n
+    # a follow-up read is still complete (nothing replayed a stale plan)
+    assert vs.read(spark).count() == n
