@@ -248,3 +248,20 @@ def test_ivf_probe_cells_expr_matches_nearest_cells(spark, emb):
     for vid, cells in by_id.items():
         v = mat[pdf.index[pdf["vec_id"] == vid][0]]
         assert cells == nearest_cells(cents, v, 3), vid
+
+
+def test_centroid_literal_is_constant_folded(spark, emb):
+    """The centroid matrix rides ONE from_json string literal that
+    ConstantFolding must collapse at optimization time — if a Spark
+    version stopped folding it, every ROW would re-parse the K×dim JSON
+    (catastrophic on the corpus assignment path). Pin the fold."""
+    import numpy as np
+
+    from hdfs_anomaly_detection_spark.operators.similarity import ivf_cell_expr
+
+    df, _, mat = emb
+    cents = np.asarray(mat[:4], dtype=float)
+    out = df.select(ivf_cell_expr("embedding", cents).alias("cell"))
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "jsontostructs" not in opt.lower(), opt[:2000]
+    assert "from_json" not in opt.lower(), opt[:2000]
