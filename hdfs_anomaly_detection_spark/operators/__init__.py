@@ -7,6 +7,12 @@ from hdfs_anomaly_detection_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_candidate_pairs,
 )
+from hdfs_anomaly_detection_spark.operators.asof import (  # noqa: F401
+    asof_join,
+)
+from hdfs_anomaly_detection_spark.operators.interval import (  # noqa: F401
+    interval_join,
+)
 from hdfs_anomaly_detection_spark.operators.ranking import (  # noqa: F401
     global_row_number,
 )

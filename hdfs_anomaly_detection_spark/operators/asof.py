@@ -1,0 +1,148 @@
+"""As-of (temporal nearest) join: for every left row, the latest right
+row at-or-before its timestamp (``backward``) or the earliest at-or-after
+(``forward``), per key.
+
+The naive formulations are scale-killers at 10^12 rows: a range-predicate
+join plans as BroadcastNestedLoop/cartesian, and a per-left correlated
+subquery re-scans the right side. The distributed shape used here is the
+classic UNION + ordered-window sweep (the same one Flink's temporal join
+and kdb's ``aj`` compile to):
+
+1. Tag right rows ``side=0`` and left rows ``side=1``, null-padding each
+   side's missing columns, and UNION ALL — a zero-shuffle concat.
+2. One hash exchange on the join keys + a per-key sort on
+   ``(ts, side, tiebreak)`` — right-before-left at equal timestamps, so
+   a right row with ``rts == lts`` IS matched (standard as-of ties).
+3. ``last(payload, ignorenulls=True)`` over
+   ``rowsBetween(unboundedPreceding, current)`` carries each right
+   payload forward to every following left row of the same key — a
+   single running-state pass inside the sorted partition.
+4. Keep ``side=1`` rows; optionally null out matches older than
+   ``tolerance`` seconds.
+
+Cost: ONE exchange of (keys, ts, payload) — the same lower bound as any
+key-partitioned join — and no row amplification at all (contrast the
+binned interval join, which explodes intervals by width/bin). Key skew
+lands a hot key in one task, the same exposure as any keyed window; the
+mitigation is upstream salting/bucketing of the key, not this operator.
+
+``forward`` flips the traversal (ts DESC) and keeps right-before-left
+at ties, so ``rts == lts`` still matches.
+
+Reference parity: the reference's history endpoint answers "the most
+recent detection rows at a query instant" with an ORDER BY created_at
+DESC over a timestamp-indexed table (hasb73/hdfs-anomaly-detection
+``anomaly-detection-service/anomaly_detection_service.py:830-845``,
+index at ``:135``); this operator is that latest-at-or-before lookup
+generalized to per-key, per-left-row form as one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_r",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the matched ``right``
+    row's payload columns (renamed ``<col><suffix>`` on collision, and
+    the matched timestamp always emitted as ``<ts><suffix>``); unmatched
+    left rows keep nulls (LEFT join semantics).
+
+    ``on``        — equi-key column names present in both frames.
+    ``ts``        — left timestamp/ordering column (timestamp or numeric).
+    ``right_ts``  — right-side ordering column (default: same name).
+    ``direction`` — ``backward`` (latest right.ts <= left.ts, default) or
+                    ``forward`` (earliest right.ts >= left.ts); both
+                    include exact-equality ties.
+    ``tolerance`` — max |left.ts - right.ts| in seconds (timestamps) or
+                    key units (numerics); farther matches become null.
+    ``tiebreak``  — right column ordering duplicates of (key, right_ts);
+                    the LARGEST tiebreak value wins (deterministic).
+                    Without it, duplicate right (key, ts) rows make the
+                    match nondeterministic — dedupe upstream instead.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    rts = right_ts or ts
+    if rts not in right.columns:
+        raise ValueError(f"right frame lacks ordering column {rts!r}")
+    for k in on:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} missing from one side")
+
+    payload = [c for c in right.columns if c not in on and c != rts]
+    # output names: collide-with-left -> suffix; matched ts always suffixed
+    out_name = {c: (c + suffix if c in left.columns else c) for c in payload}
+    ts_out = ts + suffix
+
+    side, ord_col, tie_col = "__asof_side", "__asof_ts", "__asof_tie"
+    left_cols = [c for c in left.columns]
+
+    lhs = left.select(
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_name[c]) for c in payload],
+        F.lit(None).cast(right.schema[rts].dataType).alias(ts_out),
+        F.col(ts).alias(ord_col),
+        F.lit(1).alias(side),
+        F.lit(None).cast("double").alias(tie_col),
+    )
+    rhs = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in on
+        ],
+        *[F.col(k) for k in on],
+        *[F.col(c).alias(out_name[c]) for c in payload],
+        F.col(rts).alias(ts_out),
+        F.col(rts).alias(ord_col),
+        F.lit(0).alias(side),
+        (F.col(tiebreak).cast("double") if tiebreak else F.lit(0.0)).alias(tie_col),
+    ).select(*lhs.columns)  # align union column order
+
+    ordering: list[Column] = (
+        [F.col(ord_col).asc(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
+        if direction == "backward"
+        else [F.col(ord_col).desc(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in on])
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        *left_cols,
+        F.col(side),
+        F.col(ord_col),
+        *[F.last(out_name[c], ignorenulls=True).over(w).alias(out_name[c]) for c in payload],
+        F.last(ts_out, ignorenulls=True).over(w).alias(ts_out),
+    )
+
+    matched = carried.filter(F.col(side) == 1)
+    if tolerance is not None:
+        gap = F.abs(F.col(ord_col).cast("double") - F.col(ts_out).cast("double"))
+        within = F.col(ts_out).isNotNull() & (gap <= F.lit(float(tolerance)))
+        matched = matched.select(
+            *left_cols,
+            *[
+                F.when(within, F.col(out_name[c])).alias(out_name[c])
+                for c in payload
+            ],
+            F.when(within, F.col(ts_out)).alias(ts_out),
+        )
+    else:
+        matched = matched.select(*left_cols, *[out_name[c] for c in payload], ts_out)
+    return matched

@@ -1,0 +1,120 @@
+"""Range (point-in-interval) join without a nested-loop plan.
+
+``points JOIN intervals ON lo <= p AND p < hi`` has no equi-key, so
+Catalyst plans it as BroadcastNestedLoopJoin (fine only when one side
+broadcasts) or a cartesian product (never fine). The scale path is the
+standard BINNED rewrite used by Spark's own range-join hints on
+Databricks and by Sedona/GeoSpark for 1-D ranges:
+
+1. Pick a bin width ``g``. A point maps to exactly ONE bin
+   ``floor(p / g)``; an interval explodes to the bins it overlaps
+   (``floor(lo/g) .. floor(hi/g)`` — width/g + 1 rows, bounded by the
+   caller's choice of g vs interval width).
+2. Equi-join on (bin [, extra keys]) — a plain shuffled hash/sort-merge
+   join Catalyst can plan, partition, and AQE-skew-split.
+3. Re-check the exact predicate ``lo <= p < hi`` to drop bin-grazing
+   false candidates.
+
+Because each point owns exactly one bin, every (point, interval) match
+surfaces exactly once — no post-join dedup pass. Cost: interval-side
+amplification ×(width/g + 1) and one equi-shuffle, vs the nested loop's
+|points| × |intervals| predicate evaluations. Choose ``g`` near the
+median interval width (amplification ≈ 2); the amplified rows carry only
+(bin, lo, hi, payload), never the point side.
+
+``strategy="broadcast"`` keeps the plain range predicate with an
+explicit ``F.broadcast`` on the interval side — the right call when
+intervals fit in memory (a BNLJ against a broadcast table is a map-only
+scan). The binned default is for large×large.
+
+Reference parity: the reference brackets rows into [window_start,
+window_end) containment windows and value bands (accuracy/latency
+ranges) in its dashboard queries (hasb73/hdfs-anomaly-detection
+``grafana/grafana_test_queries.sql:27-37``); this operator is that
+containment test generalized to many windows × many rows as a shuffled
+equi-join plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interval_join"]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    on: list[str] | None = None,
+    bin_size: float = 1.0,
+    closed: str = "left",
+    strategy: str = "binned",
+) -> DataFrame:
+    """Inner join of ``points`` to every interval containing
+    ``point_col``; output carries all point columns plus all interval
+    columns (interval columns colliding with point names get ``_i``).
+
+    ``on``       — optional extra equi-keys present in both frames.
+    ``bin_size`` — domain units per bin (binned strategy); interval-side
+                   row amplification is width/bin_size + 1.
+    ``closed``   — ``left`` = [lo, hi) (default) or ``both`` = [lo, hi].
+    ``strategy`` — ``binned`` (equi-join on bin, large×large) or
+                   ``broadcast`` (range predicate vs broadcast intervals,
+                   small interval side).
+
+    Values and bounds are compared as doubles — cast timestamps with
+    ``.cast("double")`` (epoch seconds) upstream. Null points/bounds
+    never match (inner-join semantics).
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be left|both, got {closed!r}")
+    if strategy not in ("binned", "broadcast"):
+        raise ValueError(f"strategy must be binned|broadcast, got {strategy!r}")
+    if bin_size <= 0:
+        raise ValueError("bin_size must be positive")
+    keys = list(on or [])
+
+    rename = {
+        c: (c + "_i" if c in points.columns else c)
+        for c in intervals.columns
+        if c not in keys
+    }
+    ivals = intervals.select(
+        *keys, *[F.col(c).alias(rename[c]) for c in rename]
+    )
+    lo = F.col(rename[lo_col]).cast("double")
+    hi = F.col(rename[hi_col]).cast("double")
+    p = F.col(point_col).cast("double")
+    contains = (lo <= p) & ((p < hi) if closed == "left" else (p <= hi))
+
+    if strategy == "broadcast":
+        cond = contains
+        for k in keys:
+            cond = cond & (points[k] == ivals[k])
+        joined = points.join(F.broadcast(ivals), cond, "inner")
+        # drop the duplicate key columns from the interval side
+        return joined.select(*points.columns, *[rename[c] for c in rename])
+
+    bin_col = "__ij_bin"
+    g = float(bin_size)
+    pts = points.filter(F.col(point_col).isNotNull()).withColumn(
+        bin_col, F.floor(p / F.lit(g)).cast("long")
+    )
+    iv = (
+        ivals.filter(lo.isNotNull() & hi.isNotNull() & (lo <= hi))
+        .withColumn(
+            bin_col,
+            F.explode(
+                F.sequence(
+                    F.floor(lo / F.lit(g)).cast("long"),
+                    F.floor(hi / F.lit(g)).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = pts.join(iv, [bin_col, *keys], "inner").filter(contains)
+    return joined.select(*points.columns, *[rename[c] for c in rename])

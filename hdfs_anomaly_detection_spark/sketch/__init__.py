@@ -3,6 +3,12 @@ from hdfs_anomaly_detection_spark.sketch.tdigest import (  # noqa: F401
     build_partition_digests,
     metric_frame,
 )
+from hdfs_anomaly_detection_spark.sketch.cms import (  # noqa: F401
+    CountMinSketch,
+    build_cms,
+    cms_estimate,
+    heavy_hitters,
+)
 from hdfs_anomaly_detection_spark.sketch.drift import (  # noqa: F401
     drift_verdicts,
     ks_statistic,

@@ -1,0 +1,146 @@
+"""asof_join vs pandas.merge_asof (independent oracle) + plan shape.
+
+merge_asof is the battle-tested reference semantics: backward/forward
+with allow_exact_matches=True and an optional tolerance — exactly what
+asof_join claims. Seeded random inputs, every comparison exact.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.operators import asof_join
+
+SEED = 20260817
+
+
+def _mk(spark, n_left=300, n_right=200, n_keys=7, seed=SEED):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "ts": rng.integers(0, 10_000, n_left).astype("float64"),
+            "lid": np.arange(n_left, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "ts": rng.integers(0, 10_000, n_right).astype("float64"),
+            "rid": np.arange(n_right, dtype="int64"),
+            "payload": rng.normal(size=n_right).round(6),
+        }
+    )
+    # merge_asof is ambiguous for duplicate right (k, ts); dedupe to the
+    # max rid (the tiebreak asof_join's docstring prescribes)
+    right = (
+        right.sort_values(["k", "ts", "rid"]).groupby(["k", "ts"], as_index=False).last()
+    )
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tolerance=None):
+    out = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=True,
+    )
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+def _spark_asof(spark, left, right, direction, tolerance=None):
+    lf = spark.createDataFrame(left)
+    rf = spark.createDataFrame(right)
+    res = (
+        asof_join(lf, rf, on=["k"], ts="ts", direction=direction, tolerance=tolerance)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    return res
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_matches_merge_asof(spark, direction):
+    left, right = _mk(spark)
+    got = _spark_asof(spark, left, right, direction)
+    want = _pandas_asof(left, right, direction)
+    for col in ("rid", "payload", "ts_r"):
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_names=False, check_dtype=False
+        )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_tolerance(spark, direction):
+    left, right = _mk(spark, seed=SEED + 1)
+    got = _spark_asof(spark, left, right, direction, tolerance=250.0)
+    want = _pandas_asof(left, right, direction, tolerance=250.0)
+    for col in ("rid", "payload", "ts_r"):
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_names=False, check_dtype=False
+        )
+
+
+def test_exact_tie_matches(spark):
+    """A right row AT the left timestamp matches in both directions."""
+    left = pd.DataFrame({"k": [1], "ts": [100.0], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "ts": [100.0], "rid": [7], "payload": [1.5]})
+    for direction in ("backward", "forward"):
+        got = _spark_asof(spark, left, right, direction)
+        assert got["rid"].iloc[0] == 7 and got["ts_r"].iloc[0] == 100.0
+
+
+def test_unmatched_left_rows_null(spark):
+    left = pd.DataFrame({"k": [1, 2], "ts": [50.0, 50.0], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1], "ts": [60.0], "rid": [3], "payload": [0.5]})
+    got = _spark_asof(spark, left, right, "backward")
+    assert got["rid"].isna().all()  # only future right rows / absent key
+    byk = _spark_asof(spark, left, right, "forward").sort_values("lid")
+    assert byk["rid"].iloc[0] == 3  # k=1: future right row matches forward
+    assert pd.isna(byk["rid"].iloc[1])  # k=2: absent key stays null
+
+
+def test_duplicate_right_ts_tiebreak(spark):
+    """Largest tiebreak wins deterministically at duplicate (k, ts)."""
+    left = pd.DataFrame({"k": [1], "ts": [200.0], "lid": [0]})
+    right = pd.DataFrame(
+        {"k": [1, 1, 1], "ts": [150.0, 150.0, 150.0], "rid": [5, 9, 2], "payload": [0.1, 0.2, 0.3]}
+    )
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = asof_join(lf, rf, on=["k"], ts="ts", tiebreak="rid").toPandas()
+    assert got["rid"].iloc[0] == 9
+
+
+def test_column_collision_suffix(spark):
+    left = pd.DataFrame({"k": [1], "ts": [100.0], "payload": [9.9], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "ts": [50.0], "payload": [1.1]})
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = asof_join(lf, rf, on=["k"], ts="ts").toPandas()
+    assert got["payload"].iloc[0] == 9.9 and got["payload_r"].iloc[0] == 1.1
+
+
+def test_plan_single_exchange_no_nested_loop(spark):
+    """The whole as-of is ONE hash exchange on the key — no BNLJ, no
+    cartesian, no per-side extra shuffles beyond the union inputs."""
+    left, right = _mk(spark)
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plan = (
+        asof_join(lf, rf, on=["k"], ts="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected exactly one hash exchange, got {n_hash}:\n{plan}"

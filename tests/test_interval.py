@@ -1,0 +1,133 @@
+"""interval_join vs a brute-force pandas double loop (independent
+oracle) + plan shape: binned mode must plan as an equi-join, never a
+nested loop; broadcast mode is the explicit BNLJ-vs-broadcast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hdfs_anomaly_detection_spark.operators import interval_join
+
+SEED = 20260817
+
+
+def _mk(n_pts=400, n_iv=60, seed=SEED, with_key=False, n_keys=4):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_pts, dtype="int64"),
+            "v": (rng.uniform(-50, 150, n_pts)).round(3),
+        }
+    )
+    lo = rng.uniform(-60, 140, n_iv).round(3)
+    iv = pd.DataFrame(
+        {
+            "iid": np.arange(n_iv, dtype="int64"),
+            "lo": lo,
+            "hi": (lo + rng.uniform(0, 25, n_iv)).round(3),
+        }
+    )
+    if with_key:
+        pts["k"] = rng.integers(0, n_keys, n_pts)
+        iv["k"] = rng.integers(0, n_keys, n_iv)
+    return pts, iv
+
+
+def _brute(pts, iv, closed="left", keys=()):
+    out = []
+    for p in pts.itertuples(index=False):
+        for i in iv.itertuples(index=False):
+            if any(getattr(p, k) != getattr(i, k) for k in keys):
+                continue
+            hit = i.lo <= p.v < i.hi if closed == "left" else i.lo <= p.v <= i.hi
+            if hit:
+                out.append((p.pid, i.iid))
+    return sorted(out)
+
+
+def _run(spark, pts, iv, keys=None, **kw):
+    res = interval_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="v",
+        on=keys,
+        **kw,
+    ).toPandas()
+    return sorted(zip(res["pid"], res["iid"]))
+
+
+@pytest.mark.parametrize("closed", ["left", "both"])
+@pytest.mark.parametrize("bin_size", [0.7, 5.0, 40.0])
+def test_binned_matches_bruteforce(spark, closed, bin_size):
+    pts, iv = _mk()
+    assert _run(spark, pts, iv, closed=closed, bin_size=bin_size) == _brute(
+        pts, iv, closed
+    )
+
+
+def test_with_extra_equi_keys(spark):
+    pts, iv = _mk(with_key=True, seed=SEED + 1)
+    assert _run(spark, pts, iv, keys=["k"], bin_size=5.0) == _brute(
+        pts, iv, "left", keys=("k",)
+    )
+
+
+def test_broadcast_strategy_matches(spark):
+    pts, iv = _mk(seed=SEED + 2)
+    assert _run(spark, pts, iv, strategy="broadcast") == _brute(pts, iv, "left")
+
+
+def test_each_match_exactly_once(spark):
+    """A point inside an interval spanning many bins must surface once."""
+    pts = pd.DataFrame({"pid": [0], "v": [10.0]})
+    iv = pd.DataFrame({"iid": [0], "lo": [-100.0], "hi": [100.0]})
+    assert _run(spark, pts, iv, bin_size=1.0) == [(0, 0)]
+
+
+def test_boundary_semantics(spark):
+    pts = pd.DataFrame({"pid": [0, 1], "v": [5.0, 10.0]})
+    iv = pd.DataFrame({"iid": [0], "lo": [5.0], "hi": [10.0]})
+    assert _run(spark, pts, iv, bin_size=2.5) == [(0, 0)]  # lo in, hi out
+    assert _run(spark, pts, iv, bin_size=2.5, closed="both") == [(0, 0), (1, 0)]
+
+
+def test_nulls_and_degenerate_never_match(spark):
+    pts = pd.DataFrame({"pid": [0, 1], "v": [None, 5.0]})
+    iv = pd.DataFrame(
+        {"iid": [0, 1, 2], "lo": [None, 4.0, 9.0], "hi": [10.0, None, 3.0]}
+    )  # null lo / null hi / inverted (lo > hi)
+    assert _run(spark, pts, iv, bin_size=1.0) == []
+
+
+def test_negative_domain_bins(spark):
+    """floor-division binning must stay correct below zero."""
+    pts = pd.DataFrame({"pid": [0, 1], "v": [-7.5, -0.1]})
+    iv = pd.DataFrame({"iid": [0], "lo": [-8.0], "hi": [0.0]})
+    assert _run(spark, pts, iv, bin_size=3.0) == [(0, 0), (1, 0)]
+
+
+def test_binned_plan_is_equi_join(spark):
+    pts, iv = _mk()
+    df = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv), point_col="v", bin_size=5.0
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    # the equi-join keys on the bin column (broadcast or shuffled — tiny
+    # test frames may auto-broadcast; both are keyed equi-joins)
+    assert "__ij_bin" in plan
+
+
+def test_broadcast_plan_is_bnlj(spark):
+    pts, iv = _mk()
+    df = interval_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="v",
+        strategy="broadcast",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in plan
