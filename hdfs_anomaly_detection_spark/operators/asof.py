@@ -45,6 +45,13 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join"]
 
 
+def _seconds(c: Column) -> Column:
+    """Ordering column as double seconds: numerics cast directly;
+    TIMESTAMP_NTZ refuses a direct double cast, so hop via TIMESTAMP
+    (session-UTC reinterpretation — a constant offset, gap-invariant)."""
+    return c.cast("timestamp").cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -133,7 +140,7 @@ def asof_join(
 
     matched = carried.filter(F.col(side) == 1)
     if tolerance is not None:
-        gap = F.abs(F.col(ord_col).cast("double") - F.col(ts_out).cast("double"))
+        gap = F.abs(_seconds(F.col(ord_col)) - _seconds(F.col(ts_out)))
         within = F.col(ts_out).isNotNull() & (gap <= F.lit(float(tolerance)))
         matched = matched.select(
             *left_cols,

@@ -1643,6 +1643,96 @@ def q_global_rank(spark, sf_dir):
     ).select("o_orderkey", "rk")
 
 
+@register(
+    "q_asof_join",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+           WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, r.purchase_id,
+       round(epoch(l.ts) - epoch(r.ts), 3) AS gap_s
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_join(spark, sf_dir):
+    # latest purchase at-or-before each click, per user — the reference's
+    # latest-at-or-before history lookup (anomaly_detection_service.py:
+    # 830-845) generalized per key. UNION + ordered-window sweep: ONE
+    # hash exchange, no nested loop (plan pinned in tests/test_asof.py);
+    # the DuckDB oracle uses its native ASOF LEFT JOIN — an independent
+    # implementation of the same semantics
+    from hdfs_anomaly_detection_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    res = asof_join(clicks, purchases, on=["user_id"], ts="ts")
+    return res.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        F.round(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("ts_r").cast("timestamp").cast("double"),
+            3,
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "q_range_join",
+    """
+WITH bands AS (
+  SELECT i AS band_id, i * 5.0 AS lo, i * 5.0 + 10.0 AS hi
+  FROM generate_series(0, 97) t(i)
+)
+SELECT e.event_id, b.band_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+""",
+)
+def q_range_join(spark, sf_dir):
+    # every event value into each overlapping [lo, hi) band — the
+    # reference's window/band containment (grafana_test_queries.sql:
+    # 27-37) at many-bands × many-rows scale. Binned equi-join rewrite
+    # (bin = interval width / 2): Catalyst plans a keyed join it can
+    # shuffle and AQE-skew-split, never a nested loop (plan pinned in
+    # tests/test_interval.py); the oracle keeps the naive inequality join
+    from hdfs_anomaly_detection_spark.operators import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(98).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 10.0).alias("hi"),
+    )
+    return interval_join(ev, bands, point_col="value", bin_size=5.0).select(
+        "event_id", "band_id"
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id HAVING count(*) >= 73
+""",
+)
+def q_heavy_hitters(spark, sf_dir):
+    # exact keys above an absolute frequency threshold via the Count-Min
+    # admission path — the reference's frequency-threshold event
+    # selection (hdfs_line_level_loader_v2.py:146-156) with bounded
+    # sketch state: d*w sketch pass, map-side candidate filter (below
+    # the exchange, pinned in tests/test_cms.py), exact verify over
+    # candidate rows only. Output is EXACT (CMS never underestimates),
+    # hence the plain GROUP BY HAVING oracle
+    from hdfs_anomaly_detection_spark.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", threshold=73, depth=4, width=2048)
+
+
 # ===========================================================================
 # Registry ordering vs the driver's correctness-file cap
 # ===========================================================================
@@ -1668,9 +1758,19 @@ def q_global_rank(spark, sf_dir):
 #   q_conditional_agg     — conditional agg; q_time_filter_agg (filtered agg)
 #                           and q_weighted_vote (CASE-weighted agg) keep the
 #                           aggregate family
+#   q_topk_per_group      — per-group window top-k; s_batch_topk pins the
+#                           same Partial WindowGroupLimit shape in-cap, and
+#                           q_latest_per_group keeps per-group windowing
+#   q_seeded_shard        — hash-gate epoch shard; q_stratified_sample keeps
+#                           §2.7 sampling and q_seeded_shuffle keeps the
+#                           seeded-key family
+#   q_rebalance_downsample — per-label hash downsample; same §2.7 family as
+#                           q_stratified_sample
 #
-# All five stay registered (oracle_check.py sweeps every entry either way);
-# demotion only affects which 50 the driver snapshots.
+# All demoted entries stay registered (oracle_check.py sweeps every entry
+# either way); demotion only affects which 50 the driver snapshots. The
+# three r4 additions (q_asof_join, q_range_join, q_heavy_hitters) are new
+# operator families and take the freed slots.
 _DEMOTED = [
     "v_turn_range_rows",
     "q_top_n",
@@ -1679,6 +1779,9 @@ _DEMOTED = [
     "q_histogram_value",
     "d_dedup_keep_first",
     "q_deterministic_sample",
+    "q_topk_per_group",
+    "q_seeded_shard",
+    "q_rebalance_downsample",
 ]
 for _n in _DEMOTED:
     QUERIES[_n] = QUERIES.pop(_n)

@@ -48,6 +48,9 @@ UNIQUE_FAMILY = [
     "t_quality_score",
     "t_winnow_fingerprints",
     "m_media_features",
+    "q_asof_join",
+    "q_range_join",
+    "q_heavy_hitters",
 ]
 
 
