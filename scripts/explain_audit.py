@@ -89,6 +89,28 @@ def main() -> None:
             ("no single-partition exchange", "Exchange SinglePartition", False),
             ("vectorized Arrow numbering pass", "MapInPandas"),
         ],
+        # r4: as-of join — union + ordered-window sweep, never a
+        # range-predicate nested loop
+        "q_asof_join": [
+            ("no nested-loop join", "BroadcastNestedLoop", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("per-key ordered sweep window", "Window"),
+            ("no single-partition exchange", "Exchange SinglePartition", False),
+        ],
+        # r4: range join — binned equi-join rewrite of the interval
+        # containment predicate
+        "q_range_join": [
+            ("no nested-loop join", "BroadcastNestedLoop", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("whole-stage codegen containment re-check", "*("),
+        ],
+        # r4: CMS heavy hitters — admission filter is a folded literal
+        # lookup on the map side; the only exchange carries candidates
+        "q_heavy_hitters": [
+            ("sketch literal constant-folded (no per-row parse)", "from_json", False),
+            ("whole-stage codegen admission filter", "*("),
+            ("no single-partition exchange", "Exchange SinglePartition", False),
+        ],
     }
 
     print("# PLANS — physical-plan audit of flagship operators\n")
