@@ -60,6 +60,10 @@ QUERY_NAMES = [
     "q_session_agg",
     "q_stratified_sample",
     "s_cosine_topk",
+    # r4 operator families
+    "q_asof_join",
+    "q_range_join",
+    "q_heavy_hitters",
 ]
 
 

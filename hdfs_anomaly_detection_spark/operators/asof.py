@@ -130,12 +130,30 @@ def asof_join(
         .orderBy(*ordering)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = lhs.unionByName(rhs).select(
+    # the matched right row must be carried ATOMICALLY: a per-column
+    # last(ignorenulls) would stitch column values from DIFFERENT right
+    # rows whenever a payload field is null (row A's x with row B's y).
+    # Pack payload + matched-ts into one struct — null exactly on left
+    # rows — so last(ignorenulls) picks whole rows only.
+    pack = "__asof_row"
+    packed = lhs.unionByName(rhs).withColumn(
+        pack,
+        F.when(
+            F.col(side) == 0,
+            F.struct(*[F.col(out_name[c]) for c in payload], F.col(ts_out)),
+        ),
+    )
+    carried = packed.select(
         *left_cols,
         F.col(side),
         F.col(ord_col),
-        *[F.last(out_name[c], ignorenulls=True).over(w).alias(out_name[c]) for c in payload],
-        F.last(ts_out, ignorenulls=True).over(w).alias(ts_out),
+        F.last(pack, ignorenulls=True).over(w).alias(pack),
+    ).select(
+        *left_cols,
+        F.col(side),
+        F.col(ord_col),
+        *[F.col(f"{pack}.{out_name[c]}").alias(out_name[c]) for c in payload],
+        F.col(f"{pack}.{ts_out}").alias(ts_out),
     )
 
     matched = carried.filter(F.col(side) == 1)

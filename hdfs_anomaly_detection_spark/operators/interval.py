@@ -96,8 +96,12 @@ def interval_join(
         for k in keys:
             cond = cond & (points[k] == ivals[k])
         joined = points.join(F.broadcast(ivals), cond, "inner")
-        # drop the duplicate key columns from the interval side
-        return joined.select(*points.columns, *[rename[c] for c in rename])
+        # qualified selects: with extra keys both sides still carry the
+        # key columns, so bare names would be ambiguous
+        return joined.select(
+            *[points[c] for c in points.columns],
+            *[ivals[rename[c]] for c in rename],
+        )
 
     bin_col = "__ij_bin"
     g = float(bin_size)

@@ -122,6 +122,21 @@ def test_duplicate_right_ts_tiebreak(spark):
     assert got["rid"].iloc[0] == 9
 
 
+def test_null_payload_fields_stay_atomic(spark):
+    """The matched right ROW is carried whole: a null field in the
+    nearest right row must NOT be backfilled from an older right row
+    (per-column last(ignorenulls) would stitch rows together)."""
+    left = pd.DataFrame({"k": [1], "ts": [10.0], "lid": [0]})
+    right = spark.createDataFrame(
+        [(1, 5.0, 1.0, None), (1, 7.0, None, 2.0)],
+        "k int, ts double, x double, y double",
+    )
+    lf = spark.createDataFrame(left)
+    got = asof_join(lf, right, on=["k"], ts="ts").toPandas()
+    assert pd.isna(got["x"].iloc[0])  # ts=7 row's x is null — stays null
+    assert got["y"].iloc[0] == 2.0 and got["ts_r"].iloc[0] == 7.0
+
+
 def test_column_collision_suffix(spark):
     left = pd.DataFrame({"k": [1], "ts": [100.0], "payload": [9.9], "lid": [0]})
     right = pd.DataFrame({"k": [1], "ts": [50.0], "payload": [1.1]})

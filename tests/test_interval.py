@@ -80,6 +80,14 @@ def test_broadcast_strategy_matches(spark):
     assert _run(spark, pts, iv, strategy="broadcast") == _brute(pts, iv, "left")
 
 
+def test_broadcast_with_extra_equi_keys(spark):
+    """Qualified selects keep the duplicated key columns unambiguous."""
+    pts, iv = _mk(with_key=True, seed=SEED + 3)
+    assert _run(spark, pts, iv, keys=["k"], strategy="broadcast") == _brute(
+        pts, iv, "left", keys=("k",)
+    )
+
+
 def test_each_match_exactly_once(spark):
     """A point inside an interval spanning many bins must surface once."""
     pts = pd.DataFrame({"pid": [0], "v": [10.0]})
