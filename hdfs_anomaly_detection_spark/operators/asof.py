@@ -77,9 +77,15 @@ def asof_join(
     ``tolerance`` — max |left.ts - right.ts| in seconds (timestamps) or
                     key units (numerics); farther matches become null.
     ``tiebreak``  — right column ordering duplicates of (key, right_ts);
-                    the LARGEST tiebreak value wins (deterministic).
-                    Without it, duplicate right (key, ts) rows make the
-                    match nondeterministic — dedupe upstream instead.
+                    the LARGEST value under the column's NATIVE ordering
+                    wins (deterministic). Without it, duplicate right
+                    (key, ts) rows make the match nondeterministic —
+                    dedupe upstream instead.
+
+    Null ordering values are unmatchable (merge_asof / SQL ASOF
+    semantics): right rows with a null ``right_ts`` never match, and
+    left rows with a null ``ts`` are kept with a null match. Raises on
+    suffixed-output-name collisions with existing left columns.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -94,9 +100,21 @@ def asof_join(
     # output names: collide-with-left -> suffix; matched ts always suffixed
     out_name = {c: (c + suffix if c in left.columns else c) for c in payload}
     ts_out = ts + suffix
+    out_cols = [*out_name.values(), ts_out]
+    if len(set(out_cols)) != len(out_cols) or any(c in left.columns for c in out_cols):
+        clash = sorted(
+            {c for c in out_cols if c in left.columns or out_cols.count(c) > 1}
+        )
+        raise ValueError(
+            f"suffixed output names collide with existing columns: {clash}; "
+            f"rename the inputs or pass a different suffix than {suffix!r}"
+        )
 
     side, ord_col, tie_col = "__asof_side", "__asof_ts", "__asof_tie"
     left_cols = [c for c in left.columns]
+    # native-typed tiebreak: casting to double would null out (and thus
+    # silently drop) string/decimal tiebreaks
+    tie_type = right.schema[tiebreak].dataType if tiebreak else None
 
     lhs = left.select(
         *[F.col(c) for c in left_cols],
@@ -104,9 +122,11 @@ def asof_join(
         F.lit(None).cast(right.schema[rts].dataType).alias(ts_out),
         F.col(ts).alias(ord_col),
         F.lit(1).alias(side),
-        F.lit(None).cast("double").alias(tie_col),
+        (F.lit(None).cast(tie_type) if tie_type else F.lit(0)).alias(tie_col),
     )
-    rhs = right.select(
+    # a right row with a null ordering value can never be "at-or-before"
+    # anything — drop it (merge_asof / SQL ASOF treat nulls as unmatchable)
+    rhs = right.filter(F.col(rts).isNotNull()).select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_cols
@@ -117,13 +137,16 @@ def asof_join(
         F.col(rts).alias(ts_out),
         F.col(rts).alias(ord_col),
         F.lit(0).alias(side),
-        (F.col(tiebreak).cast("double") if tiebreak else F.lit(0.0)).alias(tie_col),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias(tie_col),
     ).select(*lhs.columns)  # align union column order
 
+    # null-ts LEFT rows sort FIRST in both directions: no right row
+    # precedes them in the sweep, so they keep a null match instead of
+    # grabbing whatever sorted nearby (nulls are unmatchable, not smallest)
     ordering: list[Column] = (
-        [F.col(ord_col).asc(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
+        [F.col(ord_col).asc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
         if direction == "backward"
-        else [F.col(ord_col).desc(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
+        else [F.col(ord_col).desc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
     )
     w = (
         Window.partitionBy(*[F.col(k) for k in on])

@@ -267,12 +267,26 @@ def batch_topk(
     q = F.broadcast(
         queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv"))
     )
+    return score_and_rank_topk(emb.crossJoin(q), k, id_col, vec_col, round_digits)
+
+
+def score_and_rank_topk(
+    cand: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Shared tail of ``batch_topk`` and ``VectorStore.query_batch``:
+    from a candidate frame carrying (qid, __qv, id_col, vec_col), score
+    cosine sim and keep the per-qid top-k. The rank filter sits
+    ADJACENT to its window so Catalyst plans a Partial WindowGroupLimit
+    (map-side k-heap per qid) — keeping this in one place means a
+    tie-break or rounding change cannot drift between the two callers."""
     sim = cosine_sim_expr(F.col(vec_col), F.col("__qv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = emb.crossJoin(q).select(
-        "qid", F.col(id_col).alias("vec_id"), sim.alias("sim")
-    )
+    scored = cand.select("qid", F.col(id_col).alias("vec_id"), sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 

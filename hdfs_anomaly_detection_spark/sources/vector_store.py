@@ -60,16 +60,16 @@ from __future__ import annotations
 import json
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_anomaly_detection_spark.operators.similarity import (
-    cosine_sim_expr,
     cosine_topk,
     ivf_cell_expr,
     ivf_index,
     ivf_probe_cells_expr,
     nearest_cells,
+    score_and_rank_topk,
 )
 
 _SIDECAR = "_centroids.json"
@@ -340,9 +340,17 @@ class VectorStore:
             )
             # the stage write is durably committed; record the swap plan —
             # cells with staged data vs cells the upsert emptied (Spark
-            # writes no directory for a partition with zero rows)
-            staged = [c for c in cells if self._exists(spark, f"{_STAGE}/cell={c}")]
-            empty = [c for c in cells if c not in set(staged)]
+            # writes no directory for a partition with zero rows). ONE
+            # listStatus of the stage dir discovers exactly what the
+            # write produced — not O(cells) sequential exists() RPCs
+            fs, stage_jpath = self._fs(spark, _STAGE)
+            staged_set = {
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.listStatus(stage_jpath)
+                if st.getPath().getName().startswith("cell=")
+            }
+            staged = [c for c in cells if c in staged_set]
+            empty = [c for c in cells if c not in staged_set]
             self._write_small(
                 spark, _MARKER, json.dumps({"staged": staged, "empty": empty})
             )
@@ -356,11 +364,25 @@ class VectorStore:
         if _recover and self._exists(spark, _MARKER):
             # a leftover marker means a writer died mid-swap: finish it —
             # but only under the lock, so we never race a LIVE writer's
-            # own swap (if the lock is held, that writer will finish)
+            # own swap (if the writer is live, it will finish). A lock
+            # we CANNOT take is ambiguous — live writer about to finish,
+            # or a crashed one whose half-swapped state would otherwise
+            # be served silently forever — so say so loudly instead of
+            # passing in silence; unlock() is the documented repair.
             try:
                 self._acquire_lock(spark)
             except ConcurrentWriteError:
-                pass
+                import warnings
+
+                warnings.warn(
+                    f"vector store {self.path} has a pending upsert swap "
+                    f"(_READY marker) AND a held write lock: if the writer "
+                    f"is live this read may see touched cells mid-swap; if "
+                    f"it crashed, results will keep missing swapped cells "
+                    f"until .unlock() lets the next read replay the swap",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             else:
                 try:
                     self._recover(spark)
@@ -432,11 +454,6 @@ class VectorStore:
         # PartitionFilters prune the scan does before opening any file
         probed = sorted({int(r[0]) for r in q.select("cell").distinct().collect()})
         table = self.read(spark).filter(F.col("cell").isin(probed))
-        sim = F.round(cosine_sim_expr(F.col(vec_col), F.col("__qv")), 4)
-        scored = table.join(F.broadcast(q), "cell").select(
-            "qid", F.col(id_col).alias("vec_id"), sim.alias("sim")
-        )
-        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-        return scored.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= k
+        return score_and_rank_topk(
+            table.join(F.broadcast(q), "cell"), k, id_col, vec_col
         )

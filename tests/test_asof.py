@@ -145,6 +145,55 @@ def test_column_collision_suffix(spark):
     assert got["payload"].iloc[0] == 9.9 and got["payload_r"].iloc[0] == 1.1
 
 
+def test_unresolvable_suffix_collision_raises(spark):
+    """left already owns the suffixed name -> fail loudly, not with a
+    duplicate-column plan error downstream."""
+    left = pd.DataFrame({"k": [1], "ts": [1.0], "x": [0.0], "x_r": [0.0]})
+    right = pd.DataFrame({"k": [1], "ts": [1.0], "x": [1.0]})
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(lf, rf, on=["k"], ts="ts")
+    # and the always-suffixed matched-ts name collides too
+    left2 = pd.DataFrame({"k": [1], "ts": [1.0], "ts_r": [9.0]})
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(spark.createDataFrame(left2), rf, on=["k"], ts="ts")
+
+
+def test_null_ordering_values_unmatchable(spark):
+    """merge_asof / SQL ASOF semantics: a null timestamp matches nothing
+    — on either side, in either direction."""
+    left = spark.createDataFrame(
+        [(1, 1.0, 0), (1, None, 1)], "k int, ts double, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 777, 9.9), (1, 0.5, 5, 1.5)], "k int, ts double, rid int, payload double"
+    )
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(left, right, on=["k"], ts="ts", direction=direction)
+            .toPandas()
+            .set_index("lid")
+        )
+        assert len(got) == 2  # null-ts left row is KEPT, with null match
+        assert pd.isna(got.loc[1, "rid"]) and pd.isna(got.loc[1, "ts_r"])
+        # the non-null left row never matches the null-ts right row
+        if direction == "backward":
+            assert got.loc[0, "rid"] == 5
+        else:
+            assert pd.isna(got.loc[0, "rid"])
+
+
+def test_string_tiebreak_native_ordering(spark):
+    """Non-numeric tiebreaks order natively (a double cast would null
+    them out and silently drop determinism)."""
+    left = spark.createDataFrame([(1, 10.0, 0)], "k int, ts double, lid int")
+    right = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 5.0, "c"), (1, 5.0, "b")], "k int, ts double, rid string"
+    )
+    got = asof_join(left, right, on=["k"], ts="ts", tiebreak="rid").toPandas()
+    assert got["rid"].iloc[0] == "c"
+
+
 def test_plan_single_exchange_no_nested_loop(spark):
     """The whole as-of is ONE hash exchange on the key — no BNLJ, no
     cartesian, no per-side extra shuffles beyond the union inputs."""

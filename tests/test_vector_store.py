@@ -412,3 +412,38 @@ def test_stale_upsert_marker_does_not_corrupt_rebuild(spark, tmp_path):
     assert VectorStore(vs.path).read(spark).count() == n
     # a follow-up read is still complete (nothing replayed a stale plan)
     assert vs.read(spark).count() == n
+
+
+def test_read_warns_on_pending_swap_with_held_lock(spark, tmp_path):
+    """Review-found: a writer killed mid-swap (kill -9) leaves BOTH the
+    _READY marker and the _WRITE_LOCK behind; read() used to swallow
+    the lock conflict silently and serve the half-swapped store
+    forever. It must warn loudly, and heal on the first read after
+    unlock()."""
+    import json as _json
+    import warnings as _warnings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = VectorStore(str(tmp_path / "vs"))
+    vs.write(emb, n_centroids=N_CELLS)
+    n = emb.count()
+
+    # simulate the dead writer: committed stage + marker + held lock
+    vs._write_small(
+        spark, "_upsert_stage/_READY", _json.dumps({"staged": [], "empty": []})
+    )
+    vs._fs(spark, "_WRITE_LOCK")[0].createNewFile(vs._fs(spark, "_WRITE_LOCK")[1])
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert vs.read(spark).count() == n
+    assert any("pending upsert swap" in str(w.message) for w in caught)
+    # marker is still pending (we never replay under a held lock)
+    assert vs._exists(spark, "_upsert_stage/_READY")
+
+    vs.unlock(spark)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert vs.read(spark).count() == n  # replays the (no-op) swap
+    assert not any("pending upsert swap" in str(w.message) for w in caught)
+    assert not vs._exists(spark, "_upsert_stage/_READY")
