@@ -11,6 +11,9 @@ from hdfs_anomaly_detection_spark.streaming.validate_stream import (  # noqa: F4
     streaming_violations,
     windowed_violation_counts,
 )
+from hdfs_anomaly_detection_spark.streaming.heavy_hitters import (  # noqa: F401
+    StreamingHeavyHitters,
+)
 from hdfs_anomaly_detection_spark.streaming.stateful import (  # noqa: F401
     ORDER_VIOLATION_SCHEMA,
     stateful_order_violations,

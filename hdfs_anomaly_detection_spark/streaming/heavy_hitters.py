@@ -1,0 +1,109 @@
+"""Streaming heavy hitters: Count-Min over micro-batches.
+
+The batch operator (``sketch/cms.py``) is exact because it can re-scan
+the input for the verify pass; a stream cannot be re-scanned, so the
+streaming variant keeps the standard sketch-plus-candidates semantics
+(Cormode & Muthukrishnan 2005 §4):
+
+* Per micro-batch, ONE bounded aggregation builds the batch's d×w
+  sketch (O(d·w) driver state, never O(keys)) and merges it into the
+  running global sketch — the counter-wise merge algebra
+  ``CountMinSketch.merge`` exists for exactly this.
+* The batch's distinct keys are estimated against the RUNNING sketch
+  (which at that moment counts every prior occurrence of the key);
+  keys clearing the threshold enter the candidate table with their
+  current global estimate, and existing candidates are refreshed.
+
+Guarantees, stated honestly:
+
+* A key whose true global count is >= threshold IS reported, provided
+  it occurs at least once in some batch at-or-after crossing the
+  threshold (heavy keys keep arriving by definition — a key that stops
+  exactly at the threshold crossing can be missed by at most its final
+  batch's contribution).
+* Reported counts are CMS ESTIMATES: upper bounds, within
+  e/width · N of truth with probability 1 - e^-depth. The batch
+  operator's exact-verify pass needs a re-scannable input; run it over
+  the landed data when exactness matters.
+* False positives are possible (collision overestimates) — the same
+  one-sided error as the batch admission filter, just not disposed of
+  by an exact count.
+
+Driver state is the d×w counter matrix plus the candidate dict —
+bounded by design (candidates are keys estimated heavy at least once;
+with a sane threshold that is the tail of the distribution, not the
+key space).
+
+Use inside ``foreachBatch``::
+
+    shh = StreamingHeavyHitters(key_col="user_id", threshold=1000)
+    q = stream.writeStream.foreachBatch(
+        lambda df, epoch: shh.update(df)).start()
+    ...
+    shh.current()   # {key: estimated_count} at any point
+
+Reference parity: the reference's running confusion-matrix counters
+(``anomaly-detection-service/anomaly_detection_service.py:203-224``)
+are the same pattern — bounded driver-side state folded per event —
+generalized here to per-key frequency with sketch-bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hdfs_anomaly_detection_spark.sketch.cms import (
+    CountMinSketch,
+    build_cms,
+    cms_estimate,
+)
+
+__all__ = ["StreamingHeavyHitters"]
+
+
+class StreamingHeavyHitters:
+    """Cross-batch heavy-hitter tracker (see module docstring)."""
+
+    def __init__(
+        self,
+        key_col: str,
+        threshold: int,
+        depth: int = 4,
+        width: int = 2048,
+    ) -> None:
+        self.key_col = key_col
+        self.threshold = int(threshold)
+        self.depth = int(depth)
+        self.width = int(width)
+        self.sketch: CountMinSketch | None = None
+        self.candidates: dict = {}
+
+    def update(self, batch_df: DataFrame) -> None:
+        """Fold one micro-batch: merge its sketch, then admit/refresh
+        candidates from the batch's distinct keys estimated against the
+        merged (global-so-far) sketch. Two bounded passes over the
+        batch — the distinct-keys pass is map-side-combined and only
+        batch-local keys reach the driver."""
+        batch_sk = build_cms(
+            batch_df, self.key_col, depth=self.depth, width=self.width
+        )
+        if batch_sk.total == 0:
+            return
+        self.sketch = batch_sk if self.sketch is None else self.sketch.merge(batch_sk)
+        est = (
+            batch_df.filter(F.col(self.key_col).isNotNull())
+            .select(self.key_col)
+            .distinct()
+            .withColumn("__est", cms_estimate(self.sketch, self.key_col))
+            .filter(F.col("__est") >= F.lit(self.threshold))
+            .collect()
+        )
+        for r in est:
+            self.candidates[r[self.key_col]] = int(r["__est"])
+
+    def current(self) -> dict:
+        """{key: estimated global count} for every candidate whose
+        latest refresh cleared the threshold. Estimates are upper
+        bounds (one-sided CMS error)."""
+        return dict(self.candidates)

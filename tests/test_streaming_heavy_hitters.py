@@ -1,0 +1,94 @@
+"""StreamingHeavyHitters: cross-batch sketch merge + candidate
+semantics, unit (update() on batch frames) and wired through a real
+file-stream foreachBatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from hdfs_anomaly_detection_spark.streaming import StreamingHeavyHitters
+
+SEED = 20260817
+
+
+def _batches(n_batches=4, n=1500, n_keys=80, seed=SEED):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_batches):
+        keys = np.minimum(rng.zipf(1.4, n) % n_keys, n_keys - 1)
+        out.append(pd.DataFrame({"k": [f"key_{i:03d}" for i in keys]}))
+    return out
+
+
+def test_candidates_cover_true_heavy_hitters(spark):
+    batches = _batches()
+    threshold = 300
+    shh = StreamingHeavyHitters("k", threshold, depth=4, width=1024)
+    for pdf in batches:
+        shh.update(spark.createDataFrame(pdf))
+    got = shh.current()
+    truth = pd.concat(batches).groupby("k").size()
+    heavy = truth[truth >= threshold]
+    # every true heavy hitter whose key recurs after crossing the
+    # threshold is reported (zipf heads recur every batch), and every
+    # reported estimate is an upper bound on the true count
+    for key, cnt in heavy.items():
+        assert key in got, f"missed true heavy hitter {key} (cnt={cnt})"
+        assert got[key] >= cnt
+    # one-sided error: estimates stay within e/width * N of truth here
+    n_total = sum(len(b) for b in batches)
+    for key, est in got.items():
+        assert est - truth.get(key, 0) <= np.e / 1024 * n_total + 1
+
+
+def test_key_crossing_threshold_mid_stream_is_caught(spark):
+    """A key below threshold in early batches must be admitted once a
+    later occurrence sees its GLOBAL estimate clear the bar."""
+    shh = StreamingHeavyHitters("k", 15, depth=3, width=256)
+    # 10 occurrences (below 15) ... then 10 more (crosses at 20)
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["slow"] * 10})))
+    assert "slow" not in shh.current()
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["slow"] * 10})))
+    assert shh.current()["slow"] >= 20
+
+
+def test_empty_and_null_batches_are_noops(spark):
+    shh = StreamingHeavyHitters("k", 5, depth=2, width=64)
+    empty = spark.createDataFrame([], "k string")
+    nulls = spark.createDataFrame([(None,), (None,)], "k string")
+    shh.update(empty)
+    shh.update(nulls)
+    assert shh.current() == {}
+    assert shh.sketch is None  # nothing countable ever arrived
+
+
+def test_through_file_stream_foreach_batch(spark, tmp_path):
+    """The real wiring: maxFilesPerTrigger=1 file stream, one update()
+    per micro-batch, results equal the unit path."""
+    batches = _batches(n_batches=3, n=800, seed=SEED + 1)
+    path = str(tmp_path / "in")
+    for i, pdf in enumerate(batches):
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(path)
+
+    threshold = 150
+    shh = StreamingHeavyHitters("k", threshold, depth=3, width=512)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda df, epoch: shh.update(df)
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    truth = pd.concat(batches).groupby("k").size()
+    heavy = truth[truth >= threshold]
+    got = shh.current()
+    for key, cnt in heavy.items():
+        assert key in got and got[key] >= cnt
