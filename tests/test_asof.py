@@ -19,19 +19,19 @@ from hdfs_anomaly_detection_spark.operators import asof_join
 SEED = 20260817
 
 
-def _mk(spark, n_left=300, n_right=200, n_keys=7, seed=SEED):
+def _mk(spark, n_left=300, n_right=200, n_keys=7, seed=SEED, ts_range=10_000):
     rng = np.random.default_rng(seed)
     left = pd.DataFrame(
         {
             "k": rng.integers(0, n_keys, n_left),
-            "ts": rng.integers(0, 10_000, n_left).astype("float64"),
+            "ts": rng.integers(0, ts_range, n_left).astype("float64"),
             "lid": np.arange(n_left, dtype="int64"),
         }
     )
     right = pd.DataFrame(
         {
             "k": rng.integers(0, n_keys, n_right),
-            "ts": rng.integers(0, 10_000, n_right).astype("float64"),
+            "ts": rng.integers(0, ts_range, n_right).astype("float64"),
             "rid": np.arange(n_right, dtype="int64"),
             "payload": rng.normal(size=n_right).round(6),
         }
@@ -71,8 +71,16 @@ def _spark_asof(spark, left, right, direction, tolerance=None):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
-def test_matches_merge_asof(spark, direction):
-    left, right = _mk(spark)
+@pytest.mark.parametrize(
+    "seed,n_keys,ts_range",
+    [
+        (SEED, 7, 10_000),  # sparse timestamps
+        (SEED + 7, 1, 400),  # single key, dense exact-ts ties
+        (SEED + 13, 25, 150),  # many keys, very dense ties
+    ],
+)
+def test_matches_merge_asof(spark, direction, seed, n_keys, ts_range):
+    left, right = _mk(spark, n_keys=n_keys, seed=seed, ts_range=ts_range)
     got = _spark_asof(spark, left, right, direction)
     want = _pandas_asof(left, right, direction)
     for col in ("rid", "payload", "ts_r"):
