@@ -23,8 +23,14 @@ and kdb's ``aj`` compile to):
 Cost: ONE exchange of (keys, ts, payload) — the same lower bound as any
 key-partitioned join — and no row amplification at all (contrast the
 binned interval join, which explodes intervals by width/bin). Key skew
-lands a hot key in one task, the same exposure as any keyed window; the
-mitigation is upstream salting/bucketing of the key, not this operator.
+lands a hot key in one task, the same exposure as any keyed window.
+NOTE: key-salting is NOT a valid mitigation here (splitting a key's
+rows across salt buckets hides right rows from left rows in other
+buckets — wrong results); the correct hot-key treatment is to
+range-split the key's TIMELINE and replicate each range's carry-in
+(the last right row before the boundary) — a two-pass rewrite left as
+the documented scale-up path since a single key hot enough to need it
+is pathological for transcript-shaped keys.
 
 ``forward`` flips the traversal (ts DESC) and keeps right-before-left
 at ties, so ``rts == lts`` still matches.

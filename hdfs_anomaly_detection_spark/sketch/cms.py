@@ -121,13 +121,13 @@ def cms_estimate(sk: CountMinSketch, key_col: str) -> Column:
     constant-folded ``from_json`` literal per depth row."""
     key = F.col(key_col)
     ests = []
-    for j in range(depth_range := sk.depth):
+    for j in range(sk.depth):
         row_lit = F.from_json(
             F.lit(json.dumps([int(x) for x in sk.counters[j]])), "array<bigint>"
         )
         idx = (_bucket(key, j, sk.width) + F.lit(1)).cast("int")  # 1-based
         ests.append(F.element_at(row_lit, idx))
-    return ests[0] if depth_range == 1 else F.least(*ests)
+    return ests[0] if sk.depth == 1 else F.least(*ests)
 
 
 def heavy_hitters(
