@@ -88,16 +88,20 @@ def asof_join(
                     (key, ts) rows make the match nondeterministic —
                     dedupe upstream instead.
 
-    Null ordering values are unmatchable (merge_asof / SQL ASOF
-    semantics): right rows with a null ``right_ts`` never match, and
-    left rows with a null ``ts`` are kept with a null match. Raises on
-    suffixed-output-name collisions with existing left columns.
+    Null ordering values AND null join keys are unmatchable (merge_asof
+    / SQL ASOF semantics — ``NULL = NULL`` is not a match): right rows
+    with a null ``right_ts`` or a null key never match anything, and
+    left rows with a null ``ts`` or a null key are kept with a null
+    match. Raises on suffixed-output-name collisions with existing left
+    columns.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rts = right_ts or ts
     if rts not in right.columns:
         raise ValueError(f"right frame lacks ordering column {rts!r}")
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"right frame lacks tiebreak column {tiebreak!r}")
     for k in on:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
@@ -130,9 +134,15 @@ def asof_join(
         F.lit(1).alias(side),
         (F.lit(None).cast(tie_type) if tie_type else F.lit(0)).alias(tie_col),
     )
-    # a right row with a null ordering value can never be "at-or-before"
-    # anything — drop it (merge_asof / SQL ASOF treat nulls as unmatchable)
-    rhs = right.filter(F.col(rts).isNotNull()).select(
+    # a right row with a null ordering value — or a null JOIN KEY — can
+    # never match: SQL ASOF's `l.k = r.k` is unknown for NULL = NULL,
+    # and merge_asof(by=...) agrees, but Window.partitionBy would group
+    # null keys together; drop such right rows so a null-key left row
+    # keeps a null match instead of pairing with a null-key right row
+    right_matchable = F.col(rts).isNotNull()
+    for k in on:
+        right_matchable = right_matchable & F.col(k).isNotNull()
+    rhs = right.filter(right_matchable).select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_cols
@@ -149,10 +159,14 @@ def asof_join(
     # null-ts LEFT rows sort FIRST in both directions: no right row
     # precedes them in the sweep, so they keep a null match instead of
     # grabbing whatever sorted nearby (nulls are unmatchable, not smallest)
+    # tie_col asc_nulls_FIRST: among duplicate right (key, ts) rows the
+    # LAST in sort order wins, so nulls-first makes every non-null
+    # tiebreak beat a null one (a null must never outrank the largest
+    # real value)
     ordering: list[Column] = (
-        [F.col(ord_col).asc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
+        [F.col(ord_col).asc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_first()]
         if direction == "backward"
-        else [F.col(ord_col).desc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_last()]
+        else [F.col(ord_col).desc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_first()]
     )
     w = (
         Window.partitionBy(*[F.col(k) for k in on])

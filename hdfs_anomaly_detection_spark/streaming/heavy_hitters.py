@@ -34,13 +34,22 @@ bounded by design (candidates are keys estimated heavy at least once;
 with a sane threshold that is the tail of the distribution, not the
 key space).
 
-Use inside ``foreachBatch``::
+Use inside ``foreachBatch`` — PASS THE EPOCH ID so replays dedupe::
 
     shh = StreamingHeavyHitters(key_col="user_id", threshold=1000)
     q = stream.writeStream.foreachBatch(
-        lambda df, epoch: shh.update(df)).start()
+        lambda df, epoch: shh.update(df, epoch)).start()
     ...
     shh.current()   # {key: estimated_count} at any point
+
+Failure semantics: foreachBatch re-delivers an epoch after a mid-batch
+failure; ``update(df, epoch)`` skips epochs it has already folded
+(the standard idempotency pattern), so retries never double-count.
+State lives in driver memory — a query RESTART starts from zero unless
+you checkpoint it yourself: call ``save(path)`` (e.g. at the end of
+each update) and construct via ``load(path, ...)`` on restart; both go
+through the driver-local filesystem (the sketch is O(d·w), the
+candidate dict O(candidates)).
 
 Reference parity: the reference's running confusion-matrix counters
 (``anomaly-detection-service/anomaly_detection_service.py:203-224``)
@@ -78,32 +87,94 @@ class StreamingHeavyHitters:
         self.width = int(width)
         self.sketch: CountMinSketch | None = None
         self.candidates: dict = {}
+        self.last_epoch: int | None = None
 
-    def update(self, batch_df: DataFrame) -> None:
+    def update(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """Fold one micro-batch: merge its sketch, then admit/refresh
         candidates from the batch's distinct keys estimated against the
         merged (global-so-far) sketch. Two bounded passes over the
-        batch — the distinct-keys pass is map-side-combined and only
-        batch-local keys reach the driver."""
-        batch_sk = build_cms(
-            batch_df, self.key_col, depth=self.depth, width=self.width
-        )
-        if batch_sk.total == 0:
-            return
-        self.sketch = batch_sk if self.sketch is None else self.sketch.merge(batch_sk)
-        est = (
-            batch_df.filter(F.col(self.key_col).isNotNull())
-            .select(self.key_col)
-            .distinct()
-            .withColumn("__est", cms_estimate(self.sketch, self.key_col))
-            .filter(F.col("__est") >= F.lit(self.threshold))
-            .collect()
-        )
-        for r in est:
-            self.candidates[r[self.key_col]] = int(r["__est"])
+        PERSISTED batch (one source read) — the distinct-keys pass is
+        map-side-combined, and only estimated-heavy keys reach the
+        driver. Pass foreachBatch's ``epoch_id`` so a re-delivered
+        epoch (mid-batch failure retry) folds exactly once."""
+        if epoch_id is not None:
+            if self.last_epoch is not None and epoch_id <= self.last_epoch:
+                return  # replayed epoch — already folded
+            self.last_epoch = int(epoch_id)
+        batch_df = batch_df.persist()
+        try:
+            batch_sk = build_cms(
+                batch_df, self.key_col, depth=self.depth, width=self.width
+            )
+            if batch_sk.total == 0:
+                return
+            self.sketch = (
+                batch_sk if self.sketch is None else self.sketch.merge(batch_sk)
+            )
+            est = (
+                batch_df.filter(F.col(self.key_col).isNotNull())
+                .select(self.key_col)
+                .distinct()
+                .withColumn("__est", cms_estimate(self.sketch, self.key_col))
+                .filter(F.col("__est") >= F.lit(self.threshold))
+                .collect()
+            )
+            for r in est:
+                self.candidates[r[self.key_col]] = int(r["__est"])
+        finally:
+            batch_df.unpersist()
 
     def current(self) -> dict:
         """{key: estimated global count} for every candidate whose
         latest refresh cleared the threshold. Estimates are upper
         bounds (one-sided CMS error)."""
         return dict(self.candidates)
+
+    # ------------------------------------------------------- checkpointing
+
+    def save(self, path: str) -> None:
+        """Snapshot sketch + candidates + epoch watermark to a local
+        JSON file (atomic tmp+rename), so a restarted query can resume
+        instead of silently starting its counts from zero."""
+        import json
+        import os
+
+        state = {
+            "key_col": self.key_col,
+            "threshold": self.threshold,
+            "depth": self.depth,
+            "width": self.width,
+            "counters": None
+            if self.sketch is None
+            else self.sketch.counters.tolist(),
+            "total": 0 if self.sketch is None else self.sketch.total,
+            "candidates": list(self.candidates.items()),
+            "last_epoch": self.last_epoch,
+        }
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "StreamingHeavyHitters":
+        """Restore a :meth:`save` snapshot."""
+        import json
+
+        import numpy as np
+
+        with open(path) as f:
+            state = json.load(f)
+        shh = cls(
+            state["key_col"], state["threshold"], state["depth"], state["width"]
+        )
+        if state["counters"] is not None:
+            shh.sketch = CountMinSketch(
+                state["depth"],
+                state["width"],
+                np.asarray(state["counters"], dtype=np.int64),
+                state["total"],
+            )
+        shh.candidates = dict(state["candidates"])
+        shh.last_epoch = state["last_epoch"]
+        return shh

@@ -202,6 +202,40 @@ def test_string_tiebreak_native_ordering(spark):
     assert got["rid"].iloc[0] == "c"
 
 
+def test_null_tiebreak_never_outranks_nonnull(spark):
+    left = spark.createDataFrame([(1, 10.0, 0)], "k int, ts double, lid int")
+    right = spark.createDataFrame(
+        [(1, 5.0, None, "null-tb"), (1, 5.0, "z", "real-tb")],
+        "k int, ts double, rid string, tag string",
+    )
+    got = asof_join(left, right, on=["k"], ts="ts", tiebreak="rid").toPandas()
+    assert got["tag"].iloc[0] == "real-tb"
+
+
+def test_null_join_keys_unmatchable(spark):
+    """SQL ASOF's NULL = NULL is not a match — null-key rows on either
+    side must not pair up (Window.partitionBy would group them)."""
+    left = spark.createDataFrame(
+        [(None, 2.0, 0), (1, 2.0, 1)], "k int, ts double, lid int"
+    )
+    right = spark.createDataFrame(
+        [(None, 1.0, 9), (1, 1.0, 5)], "k int, ts double, rid int"
+    )
+    got = (
+        asof_join(left, right, on=["k"], ts="ts").toPandas().set_index("lid")
+    )
+    assert len(got) == 2  # null-key left row kept (left-join semantics)
+    assert pd.isna(got.loc[0, "rid"])  # ...but matched to nothing
+    assert got.loc[1, "rid"] == 5
+
+
+def test_misspelled_tiebreak_raises_value_error(spark):
+    left = spark.createDataFrame([(1, 1.0)], "k int, ts double")
+    right = spark.createDataFrame([(1, 1.0, 2)], "k int, ts double, rid int")
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, on=["k"], ts="ts", tiebreak="rdi")
+
+
 def test_plan_single_exchange_no_nested_loop(spark):
     """The whole as-of is ONE hash exchange on the key — no BNLJ, no
     cartesian, no per-side extra shuffles beyond the union inputs."""

@@ -64,6 +64,36 @@ def test_empty_and_null_batches_are_noops(spark):
     assert shh.sketch is None  # nothing countable ever arrived
 
 
+def test_epoch_replay_folds_exactly_once(spark):
+    """foreachBatch re-delivers an epoch after a mid-batch failure; a
+    replayed epoch must not double-count."""
+    shh = StreamingHeavyHitters("k", 5, depth=2, width=64)
+    batch = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 6}))
+    shh.update(batch, epoch_id=0)
+    shh.update(batch, epoch_id=0)  # replay
+    assert shh.current()["a"] == 6  # not 12
+    shh.update(batch, epoch_id=1)  # a genuinely new epoch folds
+    assert shh.current()["a"] == 12
+
+
+def test_save_load_roundtrip_resumes_counts(spark, tmp_path):
+    shh = StreamingHeavyHitters("k", 10, depth=3, width=128)
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["h"] * 8})), epoch_id=0)
+    shh.save(str(tmp_path / "state.json"))
+
+    resumed = StreamingHeavyHitters.load(str(tmp_path / "state.json"))
+    assert resumed.last_epoch == 0 and resumed.current() == {}
+    resumed.update(
+        spark.createDataFrame(pd.DataFrame({"k": ["h"] * 8})), epoch_id=1
+    )
+    assert resumed.current()["h"] >= 16  # pre-restart occurrences counted
+    # and the replayed pre-restart epoch is still deduped
+    resumed.update(
+        spark.createDataFrame(pd.DataFrame({"k": ["h"] * 8})), epoch_id=0
+    )
+    assert resumed.current()["h"] < 24
+
+
 def test_through_file_stream_foreach_batch(spark, tmp_path):
     """The real wiring: maxFilesPerTrigger=1 file stream, one update()
     per micro-batch, results equal the unit path."""
@@ -82,7 +112,7 @@ def test_through_file_stream_foreach_batch(spark, tmp_path):
         .parquet(path)
     )
     q = stream.writeStream.foreachBatch(
-        lambda df, epoch: shh.update(df)
+        lambda df, epoch: shh.update(df, epoch)
     ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
     q.processAllAvailable()
     q.stop()
