@@ -129,6 +129,26 @@ def test_binned_plan_is_equi_join(spark):
     assert "__ij_bin" in plan
 
 
+def test_binned_plan_smj_when_nothing_broadcasts(spark):
+    """The at-scale shape (both sides too big to broadcast): a shuffled
+    keyed join on the bin column — the plan AQE can skew-split."""
+    pts, iv = _mk()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(iv),
+            point_col="v",
+            bin_size=5.0,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_broadcast_plan_is_bnlj(spark):
     pts, iv = _mk()
     df = interval_join(
