@@ -47,9 +47,10 @@ failure; ``update(df, epoch)`` skips epochs it has already folded
 (the standard idempotency pattern), so retries never double-count.
 State lives in driver memory — a query RESTART starts from zero unless
 you checkpoint it yourself: call ``save(path)`` (e.g. at the end of
-each update) and construct via ``load(path, ...)`` on restart; both go
-through the driver-local filesystem (the sketch is O(d·w), the
-candidate dict O(candidates)).
+each update) and construct via ``load(path)`` on restart; snapshot IO
+goes through the Hadoop FileSystem API (hdfs/s3a/file — same rule as
+the vector-store sidecar) and the state is small: O(d·w) counters plus
+the candidate dict.
 
 Reference parity: the reference's running confusion-matrix counters
 (``anomaly-detection-service/anomaly_detection_service.py:203-224``)
@@ -132,12 +133,28 @@ class StreamingHeavyHitters:
 
     # ------------------------------------------------------- checkpointing
 
+    @staticmethod
+    def _fs(path: str):
+        """(FileSystem, Path) via the Hadoop FS API — snapshots live
+        wherever the query's checkpoints live (hdfs/s3a/file), never
+        silently on driver-local disk (same rule as the vector-store
+        sidecar). Needs an active SparkSession (a stream implies one)."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession for snapshot IO")
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(conf), jpath, jvm
+
     def save(self, path: str) -> None:
-        """Snapshot sketch + candidates + epoch watermark to a local
-        JSON file (atomic tmp+rename), so a restarted query can resume
-        instead of silently starting its counts from zero."""
+        """Snapshot sketch + candidates + epoch watermark as one JSON
+        file (write-tmp-then-rename, so a crash mid-save leaves the
+        previous snapshot intact) — a restarted query resumes via
+        :meth:`load` instead of silently starting its counts at zero."""
         import json
-        import os
 
         state = {
             "key_col": self.key_col,
@@ -151,10 +168,16 @@ class StreamingHeavyHitters:
             "candidates": list(self.candidates.items()),
             "last_epoch": self.last_epoch,
         }
-        tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, path)
+        fs, jpath, jvm = self._fs(path)
+        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(state).encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        fs.rename(tmp, jpath)
 
     @classmethod
     def load(cls, path: str) -> "StreamingHeavyHitters":
@@ -163,8 +186,12 @@ class StreamingHeavyHitters:
 
         import numpy as np
 
-        with open(path) as f:
-            state = json.load(f)
+        fs, jpath, _ = cls._fs(path)
+        inp = fs.open(jpath)
+        try:
+            state = json.loads(bytes(inp.readAllBytes()).decode("utf-8"))
+        finally:
+            inp.close()
         shh = cls(
             state["key_col"], state["threshold"], state["depth"], state["width"]
         )
