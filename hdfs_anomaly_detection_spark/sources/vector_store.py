@@ -98,32 +98,24 @@ class VectorStore:
         return spark
 
     def _fs(self, spark: SparkSession, rel: str):
-        """(FileSystem, Path) for ``{self.path}/{rel}`` via the Hadoop FS
-        API — same filesystem the dataframes write through, so the
-        sidecar/marker/lock live wherever the data lives (hdfs/s3a/
-        file), never silently on driver-local disk."""
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}" if rel else self.path)
-        return jpath.getFileSystem(conf), jpath
+        """(FileSystem, Path) for ``{self.path}/{rel}`` via the shared
+        ``hadoop_io`` helper — same filesystem the dataframes write
+        through, so the sidecar/marker/lock live wherever the data
+        lives (hdfs/s3a/file), never silently on driver-local disk."""
+        from hdfs_anomaly_detection_spark.hadoop_io import hadoop_fs
+
+        fs, jpath, _ = hadoop_fs(spark, f"{self.path}/{rel}" if rel else self.path)
+        return fs, jpath
 
     def _write_small(self, spark: SparkSession, rel: str, text: str) -> None:
-        fs, jpath = self._fs(spark, rel)
-        out = fs.create(jpath, True)  # overwrite=True
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        from hdfs_anomaly_detection_spark.hadoop_io import write_small
+
+        write_small(spark, f"{self.path}/{rel}", text)
 
     def _read_small(self, spark: SparkSession, rel: str) -> str:
-        fs, jpath = self._fs(spark, rel)
-        inp = fs.open(jpath)
-        try:
-            # readAllBytes RETURNS byte[] (py4j auto-converts to Python
-            # bytes); a readFully(buf) would mutate a py4j copy instead
-            return bytes(inp.readAllBytes()).decode("utf-8")
-        finally:
-            inp.close()
+        from hdfs_anomaly_detection_spark.hadoop_io import read_small
+
+        return read_small(spark, f"{self.path}/{rel}")
 
     def _exists(self, spark: SparkSession, rel: str) -> bool:
         fs, jpath = self._fs(spark, rel)

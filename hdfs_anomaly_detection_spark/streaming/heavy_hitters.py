@@ -89,6 +89,10 @@ class StreamingHeavyHitters:
         self.sketch: CountMinSketch | None = None
         self.candidates: dict = {}
         self.last_epoch: int | None = None
+        import threading
+
+        self._state_lock = threading.Lock()  # update vs save/current
+        # from a monitoring thread must never observe torn state
 
     def update(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """Fold one micro-batch: merge its sketch, then admit/refresh
@@ -97,101 +101,124 @@ class StreamingHeavyHitters:
         PERSISTED batch (one source read) — the distinct-keys pass is
         map-side-combined, and only estimated-heavy keys reach the
         driver. Pass foreachBatch's ``epoch_id`` so a re-delivered
-        epoch (mid-batch failure retry) folds exactly once."""
+        epoch (mid-batch failure retry) folds exactly once.
+
+        Everything is computed into locals and COMMITTED AT THE END in
+        one locked assignment: a Spark failure mid-fold leaves state
+        (including ``last_epoch``) untouched, so the epoch's retry
+        genuinely re-folds — advancing the watermark first would turn
+        at-least-once delivery into at-most-once (dropped data)."""
         if epoch_id is not None:
-            if self.last_epoch is not None and epoch_id <= self.last_epoch:
-                return  # replayed epoch — already folded
-            self.last_epoch = int(epoch_id)
+            with self._state_lock:
+                if self.last_epoch is not None and epoch_id <= self.last_epoch:
+                    return  # replayed epoch — already folded
         batch_df = batch_df.persist()
         try:
             batch_sk = build_cms(
                 batch_df, self.key_col, depth=self.depth, width=self.width
             )
-            if batch_sk.total == 0:
-                return
-            self.sketch = (
-                batch_sk if self.sketch is None else self.sketch.merge(batch_sk)
+            merged = (
+                None
+                if batch_sk.total == 0
+                else batch_sk
+                if self.sketch is None
+                else self.sketch.merge(batch_sk)
             )
-            est = (
-                batch_df.filter(F.col(self.key_col).isNotNull())
-                .select(self.key_col)
-                .distinct()
-                .withColumn("__est", cms_estimate(self.sketch, self.key_col))
-                .filter(F.col("__est") >= F.lit(self.threshold))
-                .collect()
-            )
-            for r in est:
-                self.candidates[r[self.key_col]] = int(r["__est"])
+            fresh: list = []
+            if merged is not None:
+                fresh = (
+                    batch_df.filter(F.col(self.key_col).isNotNull())
+                    .select(self.key_col)
+                    .distinct()
+                    .withColumn("__est", cms_estimate(merged, self.key_col))
+                    .filter(F.col("__est") >= F.lit(self.threshold))
+                    .collect()
+                )
         finally:
             batch_df.unpersist()
+        with self._state_lock:  # commit: all-or-nothing, never torn
+            if merged is not None:
+                self.sketch = merged
+                for r in fresh:
+                    self.candidates[r[self.key_col]] = int(r["__est"])
+            if epoch_id is not None:
+                self.last_epoch = int(epoch_id)
 
     def current(self) -> dict:
         """{key: estimated global count} for every candidate whose
         latest refresh cleared the threshold. Estimates are upper
         bounds (one-sided CMS error)."""
-        return dict(self.candidates)
+        with self._state_lock:
+            return dict(self.candidates)
 
     # ------------------------------------------------------- checkpointing
 
+    _JSON_KEY_TYPES = (str, int, float, bool)
+
     @staticmethod
-    def _fs(path: str):
-        """(FileSystem, Path) via the Hadoop FS API — snapshots live
-        wherever the query's checkpoints live (hdfs/s3a/file), never
-        silently on driver-local disk (same rule as the vector-store
-        sidecar). Needs an active SparkSession (a stream implies one)."""
+    def _active_spark():
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError("no active SparkSession for snapshot IO")
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        return jpath.getFileSystem(conf), jpath, jvm
+        return spark
 
     def save(self, path: str) -> None:
         """Snapshot sketch + candidates + epoch watermark as one JSON
-        file (write-tmp-then-rename, so a crash mid-save leaves the
-        previous snapshot intact) — a restarted query resumes via
-        :meth:`load` instead of silently starting its counts at zero."""
+        file via the shared swap-safe writer (``hadoop_io
+        .write_small_swap`` — every crash window leaves a readable
+        snapshot, and IO goes wherever the data lives: hdfs/s3a/file).
+        The state is captured under the lock, so a snapshot taken from
+        a monitoring thread mid-fold is never torn (the watermark a
+        snapshot carries always matches its counts).
+
+        Candidate keys must be JSON round-trippable (str/int/float/
+        bool) — raises ``TypeError`` up front for timestamp/decimal/
+        binary key columns rather than failing inside json.dumps (or
+        worse, resuming with silently re-typed keys)."""
         import json
 
-        state = {
-            "key_col": self.key_col,
-            "threshold": self.threshold,
-            "depth": self.depth,
-            "width": self.width,
-            "counters": None
-            if self.sketch is None
-            else self.sketch.counters.tolist(),
-            "total": 0 if self.sketch is None else self.sketch.total,
-            "candidates": list(self.candidates.items()),
-            "last_epoch": self.last_epoch,
-        }
-        fs, jpath, jvm = self._fs(path)
-        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(json.dumps(state).encode("utf-8")))
-        finally:
-            out.close()
-        if fs.exists(jpath):
-            fs.delete(jpath, False)
-        fs.rename(tmp, jpath)
+        from hdfs_anomaly_detection_spark.hadoop_io import write_small_swap
+
+        with self._state_lock:
+            bad = {
+                type(k).__name__
+                for k in self.candidates
+                if not isinstance(k, self._JSON_KEY_TYPES)
+            }
+            if bad:
+                raise TypeError(
+                    f"candidate keys of type {sorted(bad)} do not survive a "
+                    "JSON round-trip; cast the key column to string before "
+                    "tracking (supported: str/int/float/bool)"
+                )
+            state = {
+                "key_col": self.key_col,
+                "threshold": self.threshold,
+                "depth": self.depth,
+                "width": self.width,
+                "counters": None
+                if self.sketch is None
+                else self.sketch.counters.tolist(),
+                "total": 0 if self.sketch is None else self.sketch.total,
+                "candidates": list(self.candidates.items()),
+                "last_epoch": self.last_epoch,
+            }
+        write_small_swap(self._active_spark(), path, json.dumps(state))
 
     @classmethod
     def load(cls, path: str) -> "StreamingHeavyHitters":
-        """Restore a :meth:`save` snapshot."""
+        """Restore a :meth:`save` snapshot (tolerates a crash that died
+        between the swap's delete and rename — see
+        ``hadoop_io.read_small_swapped``)."""
         import json
 
         import numpy as np
 
-        fs, jpath, _ = cls._fs(path)
-        inp = fs.open(jpath)
-        try:
-            state = json.loads(bytes(inp.readAllBytes()).decode("utf-8"))
-        finally:
-            inp.close()
+        from hdfs_anomaly_detection_spark.hadoop_io import read_small_swapped
+
+        state = json.loads(read_small_swapped(cls._active_spark(), path))
         shh = cls(
             state["key_col"], state["threshold"], state["depth"], state["width"]
         )

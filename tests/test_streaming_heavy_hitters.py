@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from hdfs_anomaly_detection_spark.streaming import StreamingHeavyHitters
 
@@ -92,6 +93,56 @@ def test_save_load_roundtrip_resumes_counts(spark, tmp_path):
         spark.createDataFrame(pd.DataFrame({"k": ["h"] * 8})), epoch_id=0
     )
     assert resumed.current()["h"] < 24
+
+
+def test_failed_fold_retry_refolds(spark, monkeypatch):
+    """A Spark failure mid-fold must NOT advance the epoch watermark —
+    the retry of that epoch has to count its rows (at-least-once, not
+    at-most-once)."""
+    from hdfs_anomaly_detection_spark.streaming import heavy_hitters as hh_mod
+
+    shh = StreamingHeavyHitters("k", 5, depth=2, width=64)
+    batch = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 6}))
+
+    real_build = hh_mod.build_cms
+    calls = {"n": 0}
+
+    def flaky_build(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("executor lost")
+        return real_build(*args, **kwargs)
+
+    monkeypatch.setattr(hh_mod, "build_cms", flaky_build)
+    with pytest.raises(RuntimeError):
+        shh.update(batch, epoch_id=0)
+    assert shh.last_epoch is None and shh.current() == {}
+    shh.update(batch, epoch_id=0)  # the retry must fold, not be skipped
+    assert shh.current()["a"] == 6 and shh.last_epoch == 0
+
+
+def test_save_crash_between_delete_and_rename_recoverable(spark, tmp_path):
+    """write_small_swap's worst window (old deleted, rename pending)
+    leaves the .tmp snapshot, and load() falls back to it."""
+    import os
+
+    shh = StreamingHeavyHitters("k", 3, depth=2, width=64)
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["a"] * 4})), epoch_id=0)
+    path = str(tmp_path / "state.json")
+    shh.save(path)
+    # simulate the crash window: main gone, .tmp holds the snapshot
+    os.rename(path, path + ".tmp")
+    resumed = StreamingHeavyHitters.load(path)
+    assert resumed.current() == shh.current() and resumed.last_epoch == 0
+
+
+def test_save_rejects_non_json_keys(spark):
+    import datetime
+
+    shh = StreamingHeavyHitters("k", 1, depth=2, width=64)
+    shh.candidates[datetime.datetime(2026, 1, 1)] = 5  # e.g. timestamp key_col
+    with pytest.raises(TypeError, match="round-trip"):
+        shh.save("/tmp/never-written.json")
 
 
 def test_through_file_stream_foreach_batch(spark, tmp_path):
