@@ -336,11 +336,10 @@ class ValidationJob:
 
     @staticmethod
     def _clear_partitions(spark: SparkSession, path: str, parts: list[int]) -> None:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        from hdfs_anomaly_detection_spark.hadoop_io import hadoop_fs
+
         for p in parts:
-            jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/part_id={p}")
-            fs = jpath.getFileSystem(conf)
+            fs, jpath, _ = hadoop_fs(spark, f"{path}/part_id={p}")
             if fs.exists(jpath):
                 fs.delete(jpath, True)
 
