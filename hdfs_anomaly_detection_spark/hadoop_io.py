@@ -46,24 +46,41 @@ def read_small(spark: SparkSession, path: str) -> str:
         inp.close()
 
 
-def _pack(text: str) -> str:
-    """Self-validating payload: sha256 header + body. A partially
-    written file fails validation instead of being mistaken for a
-    committed snapshot."""
+def _read_small_bytes(spark: SparkSession, path: str) -> bytes:
+    fs, jpath, _ = hadoop_fs(spark, path)
+    inp = fs.open(jpath)
+    try:
+        return bytes(inp.readAllBytes())
+    finally:
+        inp.close()
+
+
+def _pack(text: str) -> bytes:
+    """Self-validating payload (format: one sha256-hex header line, then
+    the body; this format predates any release of the module, so there
+    is no legacy unchecksummed data to migrate). A partially written
+    file fails validation instead of being mistaken for a committed
+    snapshot."""
     import hashlib
 
-    return hashlib.sha256(text.encode("utf-8")).hexdigest() + "\n" + text
+    body = text.encode("utf-8")
+    return hashlib.sha256(body).hexdigest().encode("ascii") + b"\n" + body
 
 
-def _unpack(raw: str) -> str | None:
+def _unpack(raw: bytes) -> str | None:
     """Body if the header checksum validates, else None (partial or
-    corrupt file)."""
+    corrupt file). Hashes BYTES and decodes only after validation — a
+    tmp truncated mid multi-byte UTF-8 character must classify as
+    invalid, not raise UnicodeDecodeError."""
     import hashlib
 
-    digest, sep, text = raw.partition("\n")
-    if not sep:
+    digest, sep, body = raw.partition(b"\n")
+    if not sep or hashlib.sha256(body).hexdigest().encode("ascii") != digest:
         return None
-    return text if hashlib.sha256(text.encode("utf-8")).hexdigest() == digest else None
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:  # valid hash of undecodable bytes can't
+        return None  # happen via _pack, but never raise on garbage
 
 
 def write_small_swap(spark: SparkSession, path: str, text: str) -> None:
@@ -88,14 +105,14 @@ def write_small_swap(spark: SparkSession, path: str, text: str) -> None:
     fs, jpath, jvm = hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     if not fs.exists(jpath) and fs.exists(tmp):
-        if _unpack(read_small(spark, path + ".tmp")) is not None:
+        if _unpack(_read_small_bytes(spark, path + ".tmp")) is not None:
             if not fs.rename(tmp, jpath):
                 raise IOError(f"could not heal snapshot {path} from .tmp")
         else:
             fs.delete(tmp, False)  # partial leftover — discard
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(_pack(text).encode("utf-8")))
+        out.write(bytearray(_pack(text)))
     finally:
         out.close()
     if fs.exists(jpath) and not fs.delete(jpath, False):
@@ -109,16 +126,25 @@ def read_small_swapped(spark: SparkSession, path: str) -> str:
     checksum validates, else a VALID ``.tmp`` (crash between delete
     and rename). A partial/corrupt tmp with no main raises
     FileNotFoundError — "no committed snapshot", which callers treat
-    as start-fresh — never silently returns truncated text."""
+    as start-fresh — never silently returns truncated text. A main that
+    vanishes between the exists check and the open (another PROCESS
+    mid-swap — in-process writers are serialized by the caller) falls
+    through to the tmp branch instead of surfacing an opaque IO error."""
     fs, jpath, jvm = hadoop_fs(spark, path)
     if fs.exists(jpath):
-        text = _unpack(read_small(spark, path))
-        if text is None:
-            raise ValueError(f"snapshot {path} failed checksum validation")
-        return text
+        try:
+            raw = _read_small_bytes(spark, path)
+        except Exception as e:  # py4j-wrapped java.io.FileNotFoundException
+            if "FileNotFoundException" not in str(e):
+                raise  # a real IO failure, not the swap's delete window
+        else:
+            text = _unpack(raw)
+            if text is None:
+                raise ValueError(f"snapshot {path} failed checksum validation")
+            return text
     tmp = path + ".tmp"
     if fs.exists(jvm.org.apache.hadoop.fs.Path(tmp)):
-        text = _unpack(read_small(spark, tmp))
+        text = _unpack(_read_small_bytes(spark, tmp))
         if text is not None:
             return text
     raise FileNotFoundError(path)

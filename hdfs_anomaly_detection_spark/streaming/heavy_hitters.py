@@ -34,7 +34,10 @@ bounded by design (candidates are keys estimated heavy at least once;
 with a sane threshold that is the tail of the distribution, not the
 key space).
 
-Use inside ``foreachBatch`` — PASS THE EPOCH ID so replays dedupe::
+Use ONE tracker per streaming query (the epoch watermark assumes a
+single epoch sequence — two queries' independent counters fed into one
+tracker would silently skip the trailing query's epochs), inside
+``foreachBatch`` — PASS THE EPOCH ID so replays dedupe::
 
     shh = StreamingHeavyHitters(key_col="user_id", threshold=1000)
     q = stream.writeStream.foreachBatch(
@@ -94,11 +97,16 @@ class StreamingHeavyHitters:
         self._state_lock = threading.Lock()  # guards sketch/candidates/
         # last_epoch reads+writes: save/current from a monitoring thread
         # never observe torn state
-        self._update_lock = threading.Lock()  # serializes whole folds:
-        # two update() calls (e.g. one tracker shared by two queries)
-        # must not interleave replay-check / merge / commit
-        self._snapshot_lock = threading.Lock()  # serializes save()'s
-        # delete+rename swap (write_small_swap is not concurrent-safe)
+        self._update_lock = threading.Lock()  # serializes whole folds
+        # so accidental concurrent update() calls cannot interleave
+        # replay-check / merge / commit. NOTE: this makes misuse safe,
+        # not meaningful — ONE tracker per streaming query; the epoch
+        # watermark assumes a single epoch sequence, so feeding two
+        # queries' independent epoch counters into one tracker would
+        # silently skip whichever query's epochs trail the other's
+        self._snapshot_lock = threading.Lock()  # serializes save()
+        # end-to-end: capture AND swap under one critical section, so
+        # racing saves can never commit an older state last
 
     def update(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """Fold one micro-batch: merge its sketch, then admit/refresh
@@ -200,33 +208,38 @@ class StreamingHeavyHitters:
 
         from hdfs_anomaly_detection_spark.hadoop_io import write_small_swap
 
-        with self._state_lock:
-            bad = {
-                type(k).__name__
-                for k in self.candidates
-                if not isinstance(k, self._JSON_KEY_TYPES)
-            }
-            if bad:
-                raise TypeError(
-                    f"candidate keys of type {sorted(bad)} do not survive a "
-                    "JSON round-trip; cast the key column to string before "
-                    "tracking (supported: str/int/float/bool)"
-                )
-            state = {
-                "key_col": self.key_col,
-                "threshold": self.threshold,
-                "depth": self.depth,
-                "width": self.width,
-                "counters": None
-                if self.sketch is None
-                else self.sketch.counters.tolist(),
-                "total": 0 if self.sketch is None else self.sketch.total,
-                "candidates": list(self.candidates.items()),
-                "last_epoch": self.last_epoch,
-            }
-        with self._snapshot_lock:  # write_small_swap's delete+rename is
-            # not concurrent-safe; racing saves would spuriously IOError
-            # or leave a window with neither main nor tmp on disk
+        # capture AND write under ONE snapshot critical section: if the
+        # capture and the swap were separately locked, a monitoring
+        # thread's older capture could win the write race AFTER the
+        # stream thread committed a newer fold — regressing the on-disk
+        # watermark past epochs the query's own checkpoint will never
+        # redeliver. (Lock order: snapshot -> state; update() takes
+        # state only, so no deadlock.)
+        with self._snapshot_lock:
+            with self._state_lock:
+                bad = {
+                    type(k).__name__
+                    for k in self.candidates
+                    if not isinstance(k, self._JSON_KEY_TYPES)
+                }
+                if bad:
+                    raise TypeError(
+                        f"candidate keys of type {sorted(bad)} do not survive a "
+                        "JSON round-trip; cast the key column to string before "
+                        "tracking (supported: str/int/float/bool)"
+                    )
+                state = {
+                    "key_col": self.key_col,
+                    "threshold": self.threshold,
+                    "depth": self.depth,
+                    "width": self.width,
+                    "counters": None
+                    if self.sketch is None
+                    else self.sketch.counters.tolist(),
+                    "total": 0 if self.sketch is None else self.sketch.total,
+                    "candidates": list(self.candidates.items()),
+                    "last_epoch": self.last_epoch,
+                }
             write_small_swap(self._active_spark(), path, json.dumps(state))
 
     @classmethod

@@ -74,6 +74,23 @@ def test_next_save_heals_crash_window_before_truncating(spark, tmp_path):
     # (observable: no window raised, both reads succeed)
 
 
+def test_partial_multibyte_tmp_is_invalid_not_decode_error(spark, tmp_path):
+    """A tmp truncated mid multi-byte UTF-8 character classifies as
+    'no committed snapshot' — never UnicodeDecodeError (bytes are
+    hashed before any decode)."""
+    p = str(tmp_path / "s.json")
+    write_small_swap(spark, p, "héllo wörld ✓")
+    raw = open(p, "rb").read()
+    os.remove(p)
+    with open(p + ".tmp", "wb") as f:
+        f.write(raw[:-2])  # cut inside the final multi-byte char
+    with pytest.raises(FileNotFoundError):
+        read_small_swapped(spark, p)
+    # and the next writer heals by discarding the partial tmp
+    write_small_swap(spark, p, "recovered")
+    assert read_small_swapped(spark, p) == "recovered"
+
+
 def test_corrupt_main_raises_value_error(spark, tmp_path):
     p = str(tmp_path / "s.json")
     write_small_swap(spark, p, "v1")
