@@ -47,15 +47,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join"]
 
 
-def _seconds(c: Column) -> Column:
-    """Ordering column as double seconds: numerics cast directly;
-    TIMESTAMP_NTZ refuses a direct double cast, so hop via TIMESTAMP
-    (session-UTC reinterpretation — a constant offset, gap-invariant)."""
-    return c.cast("timestamp").cast("double")
+def _seconds(c: Column, dtype: T.DataType) -> Column:
+    """Ordering column as double seconds/key-units, branched on the
+    column's type: TIMESTAMP / TIMESTAMP_NTZ hop via TIMESTAMP (NTZ
+    refuses a direct double cast; session-UTC reinterpretation is a
+    constant offset, gap-invariant), everything else casts straight to
+    double — routing numerics through a timestamp cast would null out
+    values beyond the timestamp range (or sub-microsecond precision),
+    silently voiding tolerance matches for large non-epoch keys."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
 
 
 def asof_join(
@@ -201,7 +208,10 @@ def asof_join(
 
     matched = carried.filter(F.col(side) == 1)
     if tolerance is not None:
-        gap = F.abs(_seconds(F.col(ord_col)) - _seconds(F.col(ts_out)))
+        gap = F.abs(
+            _seconds(F.col(ord_col), left.schema[ts].dataType)
+            - _seconds(F.col(ts_out), right.schema[rts].dataType)
+        )
         within = F.col(ts_out).isNotNull() & (gap <= F.lit(float(tolerance)))
         matched = matched.select(
             *left_cols,

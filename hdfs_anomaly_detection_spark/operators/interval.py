@@ -83,6 +83,22 @@ def interval_join(
         for c in intervals.columns
         if c not in keys
     }
+    # output-name collision guard (mirrors asof_join): a suffixed name
+    # that duplicates another interval output or an existing point
+    # column would silently produce ambiguous duplicate columns
+    out_names = list(rename.values())
+    clash = sorted(
+        {
+            n
+            for c, n in rename.items()
+            if out_names.count(n) > 1 or (n != c and n in points.columns)
+        }
+    )
+    if clash:
+        raise ValueError(
+            f"suffixed interval output names collide: {clash}; "
+            "rename the interval columns upstream"
+        )
     ivals = intervals.select(
         *keys, *[F.col(c).alias(rename[c]) for c in rename]
     )

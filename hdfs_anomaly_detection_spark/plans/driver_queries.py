@@ -1647,8 +1647,8 @@ def q_global_rank(spark, sf_dir):
     "q_asof_join",
     """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-     r AS (SELECT user_id, ts, event_id AS purchase_id FROM events
-           WHERE event_type = 'purchase')
+     r AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts)
 SELECT l.event_id, l.user_id, r.purchase_id,
        round(epoch(l.ts) - epoch(r.ts), 3) AS gap_s
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -1660,7 +1660,10 @@ def q_asof_join(spark, sf_dir):
     # 830-845) generalized per key. UNION + ordered-window sweep: ONE
     # hash exchange, no nested loop (plan pinned in tests/test_asof.py);
     # the DuckDB oracle uses its native ASOF LEFT JOIN — an independent
-    # implementation of the same semantics
+    # implementation of the same semantics. Both engines pin the SAME
+    # tie rule for duplicate (user_id, ts) purchases: max purchase_id
+    # wins (tiebreak= here, GROUP BY…max() in the oracle) — without it
+    # the match would be nondeterministic and fragile to data regen
     from hdfs_anomaly_detection_spark.operators import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -1668,7 +1671,9 @@ def q_asof_join(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
-    res = asof_join(clicks, purchases, on=["user_id"], ts="ts")
+    res = asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", tiebreak="purchase_id"
+    )
     return res.select(
         "event_id",
         "user_id",

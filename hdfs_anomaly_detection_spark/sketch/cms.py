@@ -113,12 +113,31 @@ def build_cms(df: DataFrame, key_col: str, depth: int = 4, width: int = 2048) ->
     return CountMinSketch(depth, width, counters, total)
 
 
+# cms_estimate embeds the full counter matrix as plan literals
+# (depth × width int64s); beyond a few MiB that bloats every task's
+# serialized plan and the driver's plan-string handling. 4 MiB covers
+# depth 4 × width 131072 — far wider than any useful CMS (error
+# e/width · N shrinks past usefulness long before that).
+_MAX_LITERAL_BYTES = 4 << 20
+
+
 def cms_estimate(sk: CountMinSketch, key_col: str) -> Column:
     """Map-only point-frequency estimate for ``key_col``:
     ``min_j counters[j][hash_j(key)]``. Guaranteed >= the true count
     (never underestimates); overestimates by <= e/width · total with
     probability 1 - e^-depth. The counter matrix enters the plan as ONE
-    constant-folded ``from_json`` literal per depth row."""
+    constant-folded ``from_json`` literal per depth row. Raises when
+    the matrix would exceed ``_MAX_LITERAL_BYTES`` as a plan literal —
+    a width that large belongs in a broadcast join, not a literal."""
+    lit_bytes = sk.depth * sk.width * 8
+    if lit_bytes > _MAX_LITERAL_BYTES:
+        raise ValueError(
+            f"CMS counter matrix ({sk.depth}x{sk.width}, ~{lit_bytes >> 20} MiB "
+            f"as int64s) exceeds the {_MAX_LITERAL_BYTES >> 20} MiB plan-literal "
+            "budget; use a smaller width (error is e/width * total — width "
+            "131072 is already far below any practical threshold) or join "
+            "against a broadcast counter table instead"
+        )
     key = F.col(key_col)
     ests = []
     for j in range(sk.depth):
@@ -143,7 +162,16 @@ def heavy_hitters(
     sketch pass (O(d·w) state) -> map-only admission filter -> exact
     count over surviving rows only. Correct for ANY width: collisions
     only widen the candidate set the exact pass then prunes. Pass a
-    pre-built ``sketch`` to reuse one across thresholds."""
+    pre-built ``sketch`` to reuse one across thresholds.
+
+    ``df`` MUST be deterministic between actions: the sketch pass and
+    the admission+exact pass each trigger a scan, and the "CMS never
+    underestimates" guarantee only holds when both scans see the same
+    rows. A non-deterministic source (``sample``/``rand`` without a
+    seed, a table mutating between actions) can silently drop true
+    heavy hitters — ``df.persist()`` it first, or land it, as the
+    streaming variant does with its per-batch persist
+    (``streaming/heavy_hitters.py``)."""
     sk = sketch or build_cms(df, key_col, depth=depth, width=width)
     rows = df.filter(F.col(key_col).isNotNull())
     admitted = rows.filter(cms_estimate(sk, key_col) >= F.lit(int(threshold)))

@@ -203,7 +203,17 @@ class StreamingHeavyHitters:
         Candidate keys must be JSON round-trippable (str/int/float/
         bool) — raises ``TypeError`` up front for timestamp/decimal/
         binary key columns rather than failing inside json.dumps (or
-        worse, resuming with silently re-typed keys)."""
+        worse, resuming with silently re-typed keys).
+
+        FRESHNESS INVARIANT: a restored snapshot must be at least as
+        fresh as the streaming query's own checkpoint. foreachBatch
+        only re-delivers epochs the query has NOT committed — if the
+        snapshot's ``last_epoch`` trails the query checkpoint, the
+        intervening committed epochs are never re-delivered and their
+        counts are silently lost. The safe pattern is to call
+        ``save()`` inside ``update()`` (after the fold, before
+        returning) so every committed epoch has a snapshot at least as
+        new; see :meth:`load`."""
         import json
 
         from hdfs_anomaly_detection_spark.hadoop_io import write_small_swap
@@ -246,7 +256,14 @@ class StreamingHeavyHitters:
     def load(cls, path: str) -> "StreamingHeavyHitters":
         """Restore a :meth:`save` snapshot (tolerates a crash that died
         between the swap's delete and rename — see
-        ``hadoop_io.read_small_swapped``)."""
+        ``hadoop_io.read_small_swapped``).
+
+        Only restore a snapshot written by the same cadence that
+        commits epochs: if this snapshot's ``last_epoch`` trails the
+        restarted query's checkpoint, epochs in between were committed
+        but never folded here, and the stream will NOT re-deliver them
+        (undercount). Snapshot-per-update (``save()`` at the end of
+        ``update()``) makes the invariant hold by construction."""
         import json
 
         import numpy as np

@@ -250,3 +250,23 @@ def test_plan_single_exchange_no_nested_loop(spark):
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash == 1, f"expected exactly one hash exchange, got {n_hash}:\n{plan}"
+
+
+def test_tolerance_on_large_numeric_keys(spark):
+    # numeric ordering keys far beyond the Spark timestamp range
+    # (~2.5e11 s): routing them through a timestamp cast would null the
+    # tolerance gap and silently void valid matches (ADVICE r4)
+    base = 4.0e15
+    left = spark.createDataFrame(
+        [(1, base + 100.0, "l0"), (1, base + 9.0e9, "l1")], "k int, ts double, lid string"
+    )
+    right = spark.createDataFrame(
+        [(1, base, "r0")], "k int, ts double, rid string"
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], ts="ts", tolerance=1.0e6
+        ).collect()
+    }
+    assert out == {"l0": "r0", "l1": None}

@@ -121,3 +121,15 @@ def test_plan_admission_filter_below_exchange(spark, tmp_path):
     # the filter iff the filter is on the map side
     assert xpos < fpos, f"admission filter not below the exchange:\n{plan}"
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_plan_literal_guardrail_raises(spark):
+    # width=1e6 would embed a ~32 MiB literal into every task's plan;
+    # the estimate/admission path must refuse with a clear message
+    import numpy as np
+
+    from hdfs_anomaly_detection_spark.sketch.cms import CountMinSketch, cms_estimate
+
+    sk = CountMinSketch(4, 1_000_000, np.zeros((4, 1_000_000), dtype=np.int64), 0)
+    with pytest.raises(ValueError, match="plan-literal budget"):
+        cms_estimate(sk, "k")

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from hdfs_anomaly_detection_spark.operators import interval_join
 
@@ -159,3 +160,19 @@ def test_broadcast_plan_is_bnlj(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" in plan
+
+
+def test_output_name_collision_raises(spark):
+    # mirrors asof_join's guard: interval column 'lo' suffixes to 'lo_i'
+    # which already exists on the point side -> ambiguous output
+    pts = spark.createDataFrame([(1.0, 0)], "p double, lo_i int")
+    iv = spark.createDataFrame([(0.0, 2.0, 9)], "lo double, hi double, lo_i int")
+    pts2 = pts.withColumnRenamed("lo_i", "lo")  # now 'lo' collides -> 'lo_i' dup
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts2.withColumn("lo_i", F.lit(1)), iv, point_col="p")
+    # and a suffixed name landing on an existing point column
+    iv2 = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(
+            pts.withColumn("lo", F.lit(1)), iv2, point_col="p"
+        )
