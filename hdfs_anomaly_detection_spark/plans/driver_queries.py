@@ -631,6 +631,54 @@ def v_drift_text_length(spark, sf_dir):
     return res.verdicts.select("part_id", "check_id", "passed")
 
 
+@register(
+    "q_ks_exact",
+    TRANSCRIPTS_CTE
+    + """,
+a AS (SELECT part_id, length(text) AS v FROM __clean WHERE text IS NOT NULL),
+b AS (SELECT part_id, length(text) AS v FROM transcripts WHERE text IS NOT NULL),
+g AS (
+  SELECT part_id, v, sum(ca) AS na_x, sum(cb) AS nb_x FROM (
+    SELECT part_id, v, 1 AS ca, 0 AS cb FROM a
+    UNION ALL
+    SELECT part_id, v, 0 AS ca, 1 AS cb FROM b
+  ) u GROUP BY part_id, v
+),
+c AS (
+  SELECT part_id, na_x, nb_x,
+         sum(na_x) OVER (PARTITION BY part_id ORDER BY v) AS cca,
+         sum(nb_x) OVER (PARTITION BY part_id ORDER BY v) AS ccb
+  FROM g
+),
+t AS (SELECT part_id, cast(sum(na_x) AS BIGINT) AS n_base,
+             cast(sum(nb_x) AS BIGINT) AS n_cur
+      FROM g GROUP BY part_id)
+SELECT c.part_id, round(max(abs(cca * 1.0 / n_base - ccb * 1.0 / n_cur)), 6) AS ks_stat,
+       t.n_base, t.n_cur
+FROM c JOIN t ON c.part_id = t.part_id
+GROUP BY c.part_id, t.n_base, t.n_cur
+""",
+)
+def q_ks_exact(spark, sf_dir):
+    # EXACT two-sample KS per part_id between the clean baseline and the
+    # corrupted current text-length distributions — the SQL-expressible
+    # sibling of v_drift_text_length's t-digest approximation (reference
+    # analogue: distribution-threshold labeling,
+    # training/hdfs_line_level_loader_v2.py:146-147). Plan shape: ONE
+    # full-data exchange reduced map-side to distinct (part_id, length)
+    # pairs, per-part window over the value DOMAIN only, broadcast totals
+    # join; tests/test_drift.py binds the t-digest statistic to this
+    # exact value within tolerance
+    from hdfs_anomaly_detection_spark.sketch.drift import exact_ks_by_group
+
+    load_transcripts(spark, sf_dir)  # registers the views
+    clean = spark.sql(TRANSCRIPTS_CTE + "SELECT * FROM __clean")
+    cur = spark.sql(TRANSCRIPTS_CTE + "SELECT * FROM transcripts")
+    base_len = clean.select("part_id", F.length("text").alias("v"))
+    cur_len = cur.select("part_id", F.length("text").alias("v"))
+    return exact_ks_by_group(base_len, cur_len, "v", ["part_id"])
+
+
 # ===========================================================================
 # Training-pipeline operators: dedup / similarity / text analysis
 # (documents + embeddings tables; duplicates injected dialect-commonly)
@@ -1772,6 +1820,10 @@ def q_heavy_hitters(spark, sf_dir):
 #                           seeded-key family
 #   q_rebalance_downsample — per-label hash downsample; same §2.7 family as
 #                           q_stratified_sample
+#   q_seeded_shuffle      — seeded-key shuffle order (r5 demotion, r3+r4
+#                           driver-green); q_stratified_sample keeps §2.7
+#                           sampling in-cap and the seeded-key hash gate is
+#                           the same kernel as the demoted q_seeded_shard
 #
 # All demoted entries stay registered (oracle_check.py sweeps every entry
 # either way); demotion only affects which 50 the driver snapshots. The
@@ -1788,6 +1840,8 @@ _DEMOTED = [
     "q_topk_per_group",
     "q_seeded_shard",
     "q_rebalance_downsample",
+    # r5: frees the slot q_ks_exact takes (new exact-KS drift family)
+    "q_seeded_shuffle",
 ]
 for _n in _DEMOTED:
     QUERIES[_n] = QUERIES.pop(_n)

@@ -11,6 +11,7 @@ from hdfs_anomaly_detection_spark.sketch.cms import (  # noqa: F401
 )
 from hdfs_anomaly_detection_spark.sketch.drift import (  # noqa: F401
     drift_verdicts,
+    exact_ks_by_group,
     ks_statistic,
     psi,
 )

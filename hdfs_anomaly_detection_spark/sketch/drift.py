@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from hdfs_anomaly_detection_spark.sketch.tdigest import (
     TDigest,
@@ -22,6 +23,73 @@ from hdfs_anomaly_detection_spark.sketch.tdigest import (
 )
 
 _EPS = 1e-6
+
+
+def exact_ks_by_group(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ks_col: str = "ks_stat",
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic per group:
+    ``max_x |ECDF_base(x) - ECDF_cur(x)|`` over the pooled values —
+    the precise quantity the t-digest path (:func:`ks_statistic`)
+    approximates, as a pure declarative plan DuckDB can replay.
+
+    Shape (and why it scales): the pooled frame is reduced to one row
+    per DISTINCT (group, value) by a map-side-combined groupBy BEFORE
+    the window, so the per-group cumulative sum runs over the value
+    DOMAIN (text lengths: thousands), never the row count (10^12); the
+    per-group totals join is a broadcast (|groups| rows). Null values
+    are excluded on both sides (same rule as ``metric_frame``); a group
+    missing from either side yields no row (KS undefined — the drift
+    path emits its NaN/failed flag for that case).
+
+    Output: ``group_cols + [ks_col, n_base, n_cur]`` with the statistic
+    rounded to 6 dp (cross-engine float hygiene).
+    """
+    v = F.col(value_col)
+    a = base.filter(v.isNotNull()).select(
+        *group_cols, v.alias("__v"), F.lit(1).alias("__ca"), F.lit(0).alias("__cb")
+    )
+    b = cur.filter(v.isNotNull()).select(
+        *group_cols, v.alias("__v"), F.lit(0).alias("__ca"), F.lit(1).alias("__cb")
+    )
+    pooled = a.unionByName(b)
+    # one row per distinct (group, value): the only full-data exchange,
+    # map-side combined to the distinct-pair cardinality
+    g = pooled.groupBy(*group_cols, "__v").agg(
+        F.sum("__ca").alias("__na_x"), F.sum("__cb").alias("__nb_x")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__v")
+    c = g.select(
+        *group_cols,
+        F.sum("__na_x").over(w).alias("__cca"),
+        F.sum("__nb_x").over(w).alias("__ccb"),
+    )
+    totals = F.broadcast(
+        g.groupBy(*group_cols).agg(
+            F.sum("__na_x").alias("n_base"), F.sum("__nb_x").alias("n_cur")
+        )
+    )
+    return (
+        c.join(totals, group_cols, "inner")
+        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+        .groupBy(*group_cols, "n_base", "n_cur")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__cca") / F.col("n_base")
+                        - F.col("__ccb") / F.col("n_cur")
+                    )
+                ),
+                6,
+            ).alias(ks_col)
+        )
+        .select(*group_cols, ks_col, "n_base", "n_cur")
+    )
 
 
 def ks_statistic(a: TDigest, b: TDigest) -> float:

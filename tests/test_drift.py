@@ -121,3 +121,74 @@ def test_global_drift_on_subset_run_uses_baseline_slice(spark):
     assert len(glob) == 1
     assert glob.iloc[0]["passed"] and glob.iloc[0]["statistic"] < 0.05
     res.unpersist()
+
+
+# --------------------------------------------------------- exact KS (r5)
+
+
+def _np_ks(a: np.ndarray, b: np.ndarray) -> float:
+    """Independent oracle: exact two-sample KS via sorted ECDFs."""
+    xs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    cb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    return float(np.max(np.abs(ca - cb)))
+
+
+def test_exact_ks_matches_numpy_oracle(spark):
+    from hdfs_anomaly_detection_spark.sketch import exact_ks_by_group
+
+    rng = np.random.default_rng(11)
+    rows_a, rows_b = [], []
+    truth = {}
+    for g in range(3):
+        a = rng.normal(g, 1.0, 4000).round(2)
+        b = rng.normal(g + 0.3 * g, 1.0 + 0.1 * g, 3500).round(2)
+        truth[g] = round(_np_ks(a, b), 6)
+        rows_a += [(g, float(x)) for x in a]
+        rows_b += [(g, float(x)) for x in b]
+    base = spark.createDataFrame(rows_a, "grp int, v double")
+    cur = spark.createDataFrame(rows_b, "grp int, v double")
+    got = {
+        r["grp"]: (r["ks_stat"], r["n_base"], r["n_cur"])
+        for r in exact_ks_by_group(base, cur, "v", ["grp"]).collect()
+    }
+    assert set(got) == set(truth)
+    for g in truth:
+        assert got[g][0] == pytest.approx(truth[g], abs=2e-6)
+        assert (got[g][1], got[g][2]) == (4000, 3500)
+
+
+def test_exact_ks_null_values_and_missing_groups(spark):
+    from hdfs_anomaly_detection_spark.sketch import exact_ks_by_group
+
+    base = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, None), (1, 5.0)], "grp int, v double"
+    )
+    cur = spark.createDataFrame(
+        [(0, 1.0), (0, None), (2, 9.0)], "grp int, v double"
+    )
+    out = exact_ks_by_group(base, cur, "v", ["grp"]).collect()
+    # group 1 (base-only) and 2 (cur-only) yield no row; nulls excluded
+    assert len(out) == 1 and out[0]["grp"] == 0
+    assert (out[0]["n_base"], out[0]["n_cur"]) == (2, 1)
+    # ECDFs: base {1:.5, 2:1}, cur {1:1} -> max gap .5 at x=1
+    assert out[0]["ks_stat"] == pytest.approx(0.5)
+
+
+def test_tdigest_ks_tracks_exact_ks(spark):
+    # the approximate (t-digest) path and the exact path must agree
+    # within sketch tolerance on the same data — binds
+    # v_drift_text_length to q_ks_exact
+    from hdfs_anomaly_detection_spark.sketch import exact_ks_by_group
+
+    rng = np.random.default_rng(23)
+    a = rng.lognormal(4.0, 0.6, 30_000).round(0)
+    b = rng.lognormal(4.15, 0.65, 30_000).round(0)
+    exact = _np_ks(a, b)
+    approx = ks_statistic(TDigest.from_values(a), TDigest.from_values(b))
+    assert approx == pytest.approx(exact, abs=0.02)
+    # and the distributed exact path agrees with numpy exactly
+    base = spark.createDataFrame([(0, float(x)) for x in a], "grp int, v double")
+    cur = spark.createDataFrame([(0, float(x)) for x in b], "grp int, v double")
+    got = exact_ks_by_group(base, cur, "v", ["grp"]).collect()[0]["ks_stat"]
+    assert got == pytest.approx(exact, abs=2e-6)

@@ -51,6 +51,7 @@ UNIQUE_FAMILY = [
     "q_asof_join",
     "q_range_join",
     "q_heavy_hitters",
+    "q_ks_exact",
 ]
 
 
