@@ -29,10 +29,14 @@ Guarantees, stated honestly:
   one-sided error as the batch admission filter, just not disposed of
   by an exact count.
 
-Driver state is the d×w counter matrix plus the candidate dict —
-bounded by design (candidates are keys estimated heavy at least once;
-with a sane threshold that is the tail of the distribution, not the
-key space).
+Driver state is the d×w counter matrix plus the candidate dict. Every
+fold re-qualifies the full candidate set against the merged sketch and
+evicts keys below the EFFECTIVE threshold (max of the absolute
+``threshold`` and ``ceil(support × rows-seen)``): with a relative
+``support`` the bound is |candidates| <= 1/support·(1+ε) at all times
+(ε = CMS overestimate fraction), independent of stream length; with
+only an absolute threshold, estimates are monotone so nothing is ever
+evicted and the set is bounded by the keys that ever clear it.
 
 Use ONE tracker per streaming query (the epoch watermark assumes a
 single epoch sequence — two queries' independent counters fed into one
@@ -81,12 +85,32 @@ class StreamingHeavyHitters:
     def __init__(
         self,
         key_col: str,
-        threshold: int,
+        threshold: int = 0,
         depth: int = 4,
         width: int = 2048,
+        support: float | None = None,
     ) -> None:
+        """``threshold`` is an ABSOLUTE count floor; ``support`` is a
+        RELATIVE one (fraction of rows seen so far). The effective
+        threshold at any moment is ``max(threshold, ceil(support *
+        total))`` — at least one of the two must be positive.
+
+        With only an absolute threshold, CMS estimates are monotone
+        non-decreasing, so an admitted candidate can never fall back
+        below it — the candidate set is append-only and bounded by the
+        number of keys that EVER clear the threshold. With ``support``,
+        the effective threshold grows with the stream: every fold
+        re-qualifies ALL candidates against the merged sketch and
+        EVICTS keys whose estimate no longer clears it, so the state
+        bound is |candidates| <= 1/support · (1 + CMS overestimate
+        fraction) at all times, independent of stream length."""
+        if int(threshold) <= 0 and (support is None or support <= 0):
+            raise ValueError("need threshold > 0 or support > 0")
+        if support is not None and not (0.0 < support <= 1.0):
+            raise ValueError(f"support must be in (0, 1], got {support}")
         self.key_col = key_col
         self.threshold = int(threshold)
+        self.support = float(support) if support is not None else None
         self.depth = int(depth)
         self.width = int(width)
         self.sketch: CountMinSketch | None = None
@@ -145,23 +169,40 @@ class StreamingHeavyHitters:
                     if base is None
                     else base.merge(batch_sk)
                 )
-                fresh: list = []
+                survivors: dict = {}
                 if merged is not None:
-                    fresh = (
-                        batch_df.filter(F.col(self.key_col).isNotNull())
-                        .select(self.key_col)
-                        .distinct()
+                    eff = self._effective_threshold(merged.total)
+                    # re-qualify batch keys AND every existing candidate
+                    # against the merged sketch: refreshes estimates and
+                    # (under a relative `support`) EVICTS candidates the
+                    # grown effective threshold left behind. Bounded work:
+                    # |batch distinct| + |candidates| rows, never O(stream)
+                    keys = batch_df.filter(
+                        F.col(self.key_col).isNotNull()
+                    ).select(self.key_col)
+                    with self._state_lock:
+                        prior = list(self.candidates)
+                    if prior:
+                        spark = batch_df.sparkSession
+                        keys = keys.unionByName(
+                            spark.createDataFrame(
+                                [(k,) for k in prior],
+                                keys.schema,
+                            )
+                        )
+                    survivors = {
+                        r[self.key_col]: int(r["__est"])
+                        for r in keys.distinct()
                         .withColumn("__est", cms_estimate(merged, self.key_col))
-                        .filter(F.col("__est") >= F.lit(self.threshold))
+                        .filter(F.col("__est") >= F.lit(eff))
                         .collect()
-                    )
+                    }
             finally:
                 batch_df.unpersist()
             with self._state_lock:  # commit: all-or-nothing, never torn
                 if merged is not None:
                     self.sketch = merged
-                    for r in fresh:
-                        self.candidates[r[self.key_col]] = int(r["__est"])
+                    self.candidates = survivors
                 if epoch_id is not None:
                     # max(): an out-of-order epoch must never REGRESS the
                     # watermark and re-open already-folded epochs to replay
@@ -171,10 +212,20 @@ class StreamingHeavyHitters:
                         else max(self.last_epoch, int(epoch_id))
                     )
 
+    def _effective_threshold(self, total: int) -> int:
+        """max(absolute threshold, ceil(support × rows-seen)), floor 1."""
+        import math
+
+        eff = self.threshold
+        if self.support is not None:
+            eff = max(eff, math.ceil(self.support * total))
+        return max(eff, 1)
+
     def current(self) -> dict:
         """{key: estimated global count} for every candidate whose
-        latest refresh cleared the threshold. Estimates are upper
-        bounds (one-sided CMS error)."""
+        estimate cleared the effective threshold at the LAST fold
+        (folds re-qualify and evict — see ``__init__``). Estimates are
+        upper bounds (one-sided CMS error)."""
         with self._state_lock:
             return dict(self.candidates)
 
@@ -241,6 +292,7 @@ class StreamingHeavyHitters:
                 state = {
                     "key_col": self.key_col,
                     "threshold": self.threshold,
+                    "support": self.support,
                     "depth": self.depth,
                     "width": self.width,
                     "counters": None
@@ -272,7 +324,11 @@ class StreamingHeavyHitters:
 
         state = json.loads(read_small_swapped(cls._active_spark(), path))
         shh = cls(
-            state["key_col"], state["threshold"], state["depth"], state["width"]
+            state["key_col"],
+            state["threshold"],
+            state["depth"],
+            state["width"],
+            support=state.get("support"),  # absent in pre-r5 snapshots
         )
         if state["counters"] is not None:
             shh.sketch = CountMinSketch(

@@ -173,3 +173,82 @@ def test_through_file_stream_foreach_batch(spark, tmp_path):
     got = shh.current()
     for key, cnt in heavy.items():
         assert key in got and got[key] >= cnt
+
+
+# ------------------------------------------------- eviction / support (r5)
+
+
+def test_support_evicts_decayed_candidate(spark):
+    # key 'hot' is heavy early, then silent: under a RELATIVE support
+    # threshold the growing total raises the effective threshold past
+    # its frozen estimate and the re-qualification pass evicts it
+    shh = StreamingHeavyHitters("k", support=0.2, depth=3, width=512)
+    b0 = pd.DataFrame({"k": ["hot"] * 60 + [f"x{i}" for i in range(40)]})
+    shh.update(spark.createDataFrame(b0), 0)
+    assert "hot" in shh.current()  # 60/100 = .6 >= .2
+    for e in range(1, 5):
+        filler = pd.DataFrame({"k": [f"f{e}_{i}" for i in range(200)]})
+        shh.update(spark.createDataFrame(filler), e)
+    # total = 100 + 4*200 = 900; eff = ceil(.2*900) = 180 > 60 -> evicted
+    assert "hot" not in shh.current()
+    # and a persistently heavy key under the same support survives
+    shh2 = StreamingHeavyHitters("k", support=0.2, depth=3, width=512)
+    for e in range(5):
+        b = pd.DataFrame({"k": ["hot"] * 60 + [f"f{e}_{i}" for i in range(40)]})
+        shh2.update(spark.createDataFrame(b), e)
+    assert "hot" in shh2.current()
+
+
+def test_absolute_threshold_never_evicts(spark):
+    # CMS estimates are monotone: once past a fixed absolute threshold,
+    # a key stays reported even if it goes silent (documented behavior)
+    shh = StreamingHeavyHitters("k", threshold=50, depth=3, width=512)
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["hot"] * 60})), 0)
+    for e in range(1, 4):
+        shh.update(
+            spark.createDataFrame(
+                pd.DataFrame({"k": [f"f{e}_{i}" for i in range(100)]})
+            ),
+            e,
+        )
+    assert shh.current().get("hot", 0) >= 60
+
+
+def test_requalification_refreshes_silent_candidate_estimate(spark):
+    # a candidate absent from the current batch still gets its estimate
+    # refreshed against the merged sketch (it may only grow via
+    # collisions, but the refresh path must include it)
+    shh = StreamingHeavyHitters("k", threshold=10, depth=3, width=512)
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["a"] * 20})), 0)
+    est0 = shh.current()["a"]
+    shh.update(spark.createDataFrame(pd.DataFrame({"k": ["b"] * 15})), 1)
+    assert shh.current()["a"] >= est0
+    assert "b" in shh.current()
+
+
+def test_support_snapshot_roundtrip(spark, tmp_path):
+    shh = StreamingHeavyHitters("k", support=0.3, depth=3, width=256)
+    shh.update(
+        spark.createDataFrame(pd.DataFrame({"k": ["a"] * 40 + ["b"] * 5})), 0
+    )
+    p = str(tmp_path / "snap.json")
+    shh.save(p)
+    back = StreamingHeavyHitters.load(p)
+    assert back.support == pytest.approx(0.3)
+    assert back.current() == shh.current()
+    # resumed tracker keeps evicting under the restored support
+    for e in range(1, 5):
+        back.update(
+            spark.createDataFrame(
+                pd.DataFrame({"k": [f"f{e}_{i}" for i in range(100)]})
+            ),
+            e,
+        )
+    assert "a" not in back.current()
+
+
+def test_rejects_no_positive_threshold():
+    with pytest.raises(ValueError, match="threshold > 0 or support > 0"):
+        StreamingHeavyHitters("k")
+    with pytest.raises(ValueError, match="support must be"):
+        StreamingHeavyHitters("k", support=1.5)
