@@ -37,10 +37,29 @@ equi-join plan.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["interval_join"]
+
+# bounded sample for the data-driven bin default: limit() short-circuits
+# the scan, so the probe costs one small job however large the table is
+_WIDTH_SAMPLE_CAP = 100_000
+_AMPLIFICATION_WARN = 10.0
+
+
+def _median_width(intervals: DataFrame, lo_col: str, hi_col: str) -> float | None:
+    lo = F.col(lo_col).cast("double")
+    hi = F.col(hi_col).cast("double")
+    sample = (
+        intervals.select((hi - lo).alias("__w"))
+        .filter(F.col("__w").isNotNull() & (F.col("__w") >= 0))
+        .limit(_WIDTH_SAMPLE_CAP)
+    )
+    qs = sample.approxQuantile("__w", [0.5], 0.01)
+    return qs[0] if qs else None
 
 
 def interval_join(
@@ -50,7 +69,7 @@ def interval_join(
     lo_col: str = "lo",
     hi_col: str = "hi",
     on: list[str] | None = None,
-    bin_size: float = 1.0,
+    bin_size: float | None = None,
     closed: str = "left",
     strategy: str = "binned",
 ) -> DataFrame:
@@ -60,7 +79,13 @@ def interval_join(
 
     ``on``       — optional extra equi-keys present in both frames.
     ``bin_size`` — domain units per bin (binned strategy); interval-side
-                   row amplification is width/bin_size + 1.
+                   row amplification is width/bin_size + 1. Default
+                   ``None`` derives it from the MEDIAN interval width of
+                   a bounded sample (one small extra job, capped at
+                   ``_WIDTH_SAMPLE_CAP`` rows), putting the typical
+                   amplification near 2; an explicit value far below
+                   the sampled median width triggers a warning when the
+                   estimated amplification exceeds ~10×.
     ``closed``   — ``left`` = [lo, hi) (default) or ``both`` = [lo, hi].
     ``strategy`` — ``binned`` (equi-join on bin, large×large) or
                    ``broadcast`` (range predicate vs broadcast intervals,
@@ -74,7 +99,7 @@ def interval_join(
         raise ValueError(f"closed must be left|both, got {closed!r}")
     if strategy not in ("binned", "broadcast"):
         raise ValueError(f"strategy must be binned|broadcast, got {strategy!r}")
-    if bin_size <= 0:
+    if bin_size is not None and bin_size <= 0:
         raise ValueError("bin_size must be positive")
     keys = list(on or [])
 
@@ -120,7 +145,22 @@ def interval_join(
         )
 
     bin_col = "__ij_bin"
-    g = float(bin_size)
+    if bin_size is None:
+        med = _median_width(intervals, lo_col, hi_col)
+        # median width ⇒ typical amplification ≈ 2; degenerate/empty
+        # interval sets fall back to unit bins (g barely matters there)
+        g = med if med else 1.0
+    else:
+        g = float(bin_size)
+        med = _median_width(intervals, lo_col, hi_col)
+        if med and med / g + 1 > _AMPLIFICATION_WARN:
+            warnings.warn(
+                f"interval_join bin_size={g} is far below the sampled median "
+                f"interval width {med:g}: estimated row amplification "
+                f"~{med / g + 1:.0f}x (each interval explodes to width/bin+1 "
+                "bin rows); pass bin_size=None to derive it from the data",
+                stacklevel=2,
+            )
     pts = points.filter(F.col(point_col).isNotNull()).withColumn(
         bin_col, F.floor(p / F.lit(g)).cast("long")
     )

@@ -1749,7 +1749,8 @@ def q_range_join(spark, sf_dir):
     # every event value into each overlapping [lo, hi) band — the
     # reference's window/band containment (grafana_test_queries.sql:
     # 27-37) at many-bands × many-rows scale. Binned equi-join rewrite
-    # (bin = interval width / 2): Catalyst plans a keyed join it can
+    # with the r5 data-driven bin default (bin = sampled median interval
+    # width ⇒ amplification ≈ 2): Catalyst plans a keyed join it can
     # shuffle and AQE-skew-split, never a nested loop (plan pinned in
     # tests/test_interval.py); the oracle keeps the naive inequality join
     from hdfs_anomaly_detection_spark.operators import interval_join
@@ -1760,7 +1761,7 @@ def q_range_join(spark, sf_dir):
         (F.col("id") * 5.0).alias("lo"),
         (F.col("id") * 5.0 + 10.0).alias("hi"),
     )
-    return interval_join(ev, bands, point_col="value", bin_size=5.0).select(
+    return interval_join(ev, bands, point_col="value").select(
         "event_id", "band_id"
     )
 

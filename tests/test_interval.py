@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 
 from hdfs_anomaly_detection_spark.operators import interval_join
 
+# several tests intentionally pass tiny bins to exercise wide-span
+# correctness; the amplification warning is expected there
+pytestmark = pytest.mark.filterwarnings("ignore:interval_join bin_size")
+
 SEED = 20260817
 
 
@@ -176,3 +180,72 @@ def test_output_name_collision_raises(spark):
         interval_join(
             pts.withColumn("lo", F.lit(1)), iv2, point_col="p"
         )
+
+
+# ------------------------------------------------- data-driven bin (r5)
+
+
+def test_auto_bin_size_matches_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({"p": rng.uniform(0, 1e6, 400)})
+    iv = pd.DataFrame({"lo": rng.uniform(0, 1e6, 60)})
+    iv["hi"] = iv["lo"] + rng.uniform(1e4, 5e5, 60)  # wide intervals
+    iv["iid"] = np.arange(60)
+    expected = sorted(
+        (float(p), int(i))
+        for p in pts["p"]
+        for lo, hi, i in iv.itertuples(index=False)
+        if lo <= p < hi
+    )
+    got = interval_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="p",
+    )
+    assert sorted((r["p"], r["iid"]) for r in got.collect()) == expected
+
+
+def test_auto_bin_bounds_amplification_on_wide_intervals(spark):
+    # width ~1e6 intervals with the old fixed default (1.0) would have
+    # exploded each interval into ~1e6 bin rows; the sampled-median
+    # default keeps the explode factor ~2
+    from hdfs_anomaly_detection_spark.operators.interval import _median_width
+
+    iv = spark.createDataFrame(
+        [(float(i) * 1e6, float(i) * 1e6 + 1e6, i) for i in range(50)],
+        "lo double, hi double, iid int",
+    )
+    med = _median_width(iv, "lo", "hi")
+    assert med == pytest.approx(1e6, rel=0.05)
+    pts = spark.createDataFrame([(5e5,)], "p double")
+    out = interval_join(pts, iv, point_col="p")
+    # amplification = width/bin + 1 = 2 bins per interval
+    assert out.count() == 1  # correctness
+    exploded = iv.withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / F.lit(med)).cast("long"),
+                F.floor(F.col("hi") / F.lit(med)).cast("long"),
+            )
+        ),
+    )
+    assert exploded.count() <= 50 * 3
+
+
+def test_tiny_explicit_bin_warns_amplification(spark):
+    iv = spark.createDataFrame(
+        [(0.0, 1000.0, 1), (500.0, 1500.0, 2)], "lo double, hi double, iid int"
+    )
+    pts = spark.createDataFrame([(10.0,)], "p double")
+    with pytest.warns(UserWarning, match="amplification"):
+        out = interval_join(pts, iv, point_col="p", bin_size=1.0)
+        assert out.count() == 1  # still correct, just warned
+
+
+def test_degenerate_intervals_fall_back_to_unit_bins(spark):
+    iv = spark.createDataFrame([(3.0, 3.0, 1)], "lo double, hi double, iid int")
+    pts = spark.createDataFrame([(3.0,), (4.0,)], "p double")
+    # [3,3) empty under closed='left'; [3,3] matches p=3 under 'both'
+    assert interval_join(pts, iv, point_col="p").count() == 0
+    assert interval_join(pts, iv, point_col="p", closed="both").count() == 1
