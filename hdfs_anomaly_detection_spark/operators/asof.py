@@ -28,9 +28,13 @@ NOTE: key-salting is NOT a valid mitigation here (splitting a key's
 rows across salt buckets hides right rows from left rows in other
 buckets — wrong results); the correct hot-key treatment is to
 range-split the key's TIMELINE and replicate each range's carry-in
-(the last right row before the boundary) — a two-pass rewrite left as
-the documented scale-up path since a single key hot enough to need it
-is pathological for transcript-shaped keys.
+(the right row a left row at the range boundary would match). That
+two-pass rewrite is implemented behind ``hot_key_splits``: segment at
+global left-ts quantiles, reduce the right side to one carry-out row
+per (key, segment) (``max_by`` — map-side combined, tiny), chain
+carry-outs into each later (earlier, for ``forward``) segment's
+carry-in with a window over the per-segment aggregate frame, inject
+the carry-ins as synthetic right rows, and sweep per (key, segment).
 
 ``forward`` flips the traversal (ts DESC) and keeps right-before-left
 at ties, so ``rts == lts`` still matches.
@@ -75,6 +79,7 @@ def asof_join(
     tolerance: float | None = None,
     suffix: str = "_r",
     tiebreak: str | None = None,
+    hot_key_splits: int = 1,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the matched ``right``
     row's payload columns (renamed ``<col><suffix>`` on collision, and
@@ -94,6 +99,19 @@ def asof_join(
                     wins (deterministic). Without it, duplicate right
                     (key, ts) rows make the match nondeterministic —
                     dedupe upstream instead.
+    ``hot_key_splits`` — >1 activates the documented hot-key rewrite:
+                    every key's TIMELINE is range-split into up to this
+                    many segments at global left-ts quantiles, each
+                    segment's carry-in (the right row a left row at the
+                    segment start would match) is replicated in, and
+                    the sweep runs per (key, segment) — a single
+                    pathologically hot key spreads over up to
+                    ``hot_key_splits`` tasks instead of one. Output is
+                    IDENTICAL to the unsplit plan (key-salting, by
+                    contrast, would hide right rows — see module
+                    docstring). Costs: one bounded quantile pass over
+                    the left ordering column + two small exchanges of
+                    per-(key, segment) aggregates.
 
     Null ordering values AND null join keys are unmatchable (merge_asof
     / SQL ASOF semantics — ``NULL = NULL`` is not a match): right rows
@@ -104,6 +122,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if hot_key_splits < 1:
+        raise ValueError(f"hot_key_splits must be >= 1, got {hot_key_splits}")
     rts = right_ts or ts
     if rts not in right.columns:
         raise ValueError(f"right frame lacks ordering column {rts!r}")
@@ -175,11 +195,6 @@ def asof_join(
         if direction == "backward"
         else [F.col(ord_col).desc_nulls_first(), F.col(side).asc(), F.col(tie_col).asc_nulls_first()]
     )
-    w = (
-        Window.partitionBy(*[F.col(k) for k in on])
-        .orderBy(*ordering)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # the matched right row must be carried ATOMICALLY: a per-column
     # last(ignorenulls) would stitch column values from DIFFERENT right
     # rows whenever a payload field is null (row A's x with row B's y).
@@ -192,6 +207,29 @@ def asof_join(
             F.col(side) == 0,
             F.struct(*[F.col(out_name[c]) for c in payload], F.col(ts_out)),
         ),
+    )
+
+    part_cols: list[Column] = [F.col(k) for k in on]
+    if hot_key_splits > 1:
+        packed, extra_part = _timeline_split(
+            packed,
+            left=left,
+            on=on,
+            ts=ts,
+            ts_out=ts_out,
+            ord_col=ord_col,
+            side=side,
+            tie_col=tie_col,
+            pack=pack,
+            direction=direction,
+            n_splits=int(hot_key_splits),
+        )
+        part_cols += extra_part
+
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = packed.select(
         *left_cols,
@@ -224,3 +262,129 @@ def asof_join(
     else:
         matched = matched.select(*left_cols, *[out_name[c] for c in payload], ts_out)
     return matched
+
+
+def _timeline_split(
+    packed: DataFrame,
+    *,
+    left: DataFrame,
+    on: list[str],
+    ts: str,
+    ts_out: str,
+    ord_col: str,
+    side: str,
+    tie_col: str,
+    pack: str,
+    direction: str,
+    n_splits: int,
+) -> tuple[DataFrame, list[Column]]:
+    """Hot-key rewrite: segment every key's timeline at global left-ts
+    quantiles and inject each (key, segment)'s carry-in as a synthetic
+    right row, so the sweep can partition by (key, segment) without
+    losing cross-segment matches. Returns (augmented frame, extra
+    partition columns).
+
+    Three bounded passes beyond the unsplit plan:
+    1. approxQuantile over the left ordering column (sketch, one scan);
+    2. right side reduced to ONE carry-out row per (key, segment) via
+       ``max_by`` over (sec, tiebreak) — backward keeps the segment's
+       last right row, forward (sec negated) its first; map-side
+       combine makes the exchange O(keys x segments);
+    3. a per-key window over that aggregate frame (+ the distinct
+       (key, segment) pairs present on the left) chains each segment's
+       carry-in from the NEAREST earlier (backward) / later (forward)
+       segment that has right rows — exactly the row the unsplit sweep
+       would be carrying at the segment boundary.
+
+    Segment assignment is by ordering value, so a carry-in's sec is
+    strictly below (backward; above for forward) everything in its
+    target segment and sorts first in the sweep — tiebreak-irrelevant.
+    Null-ts left rows go to the edge segment that receives no carry-in
+    (0 for backward, last for forward), keeping them unmatchable.
+    """
+    backward = direction == "backward"
+    split_col = "__asof_split"
+    ord_t = packed.schema[ord_col].dataType
+    probs = [i / n_splits for i in range(1, n_splits)]
+    sec_left = left.select(
+        _seconds(F.col(ts), left.schema[ts].dataType).alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    bounds = sorted(set(sec_left.approxQuantile("__s", probs, 0.001)))
+    if not bounds:
+        # empty / all-null / constant left ordering: nothing to split
+        return packed.withColumn(split_col, F.lit(0)), [F.col(split_col)]
+
+    sec = _seconds(F.col(ord_col), ord_t)
+    seg: Column = F.lit(0)
+    for b in bounds:
+        seg = seg + F.when(sec >= F.lit(float(b)), 1).otherwise(0)
+    default_seg = 0 if backward else len(bounds)
+    packed = packed.withColumn(
+        split_col,
+        F.when(F.col(ord_col).isNull(), F.lit(default_seg)).otherwise(seg),
+    )
+
+    # (2) per-(key, segment) carry-out over right rows only
+    sec_for_sort = F.col("__sec") if backward else -F.col("__sec")
+    carry_out = (
+        packed.filter(F.col(side) == 0)
+        .withColumn("__sec", sec)
+        .groupBy(*on, split_col)
+        .agg(
+            F.max_by(
+                F.col(pack), F.struct(sec_for_sort.alias("s"), F.col(tie_col).alias("t"))
+            ).alias("__carry")
+        )
+    )
+    carry_t = carry_out.schema["__carry"].dataType
+
+    # (3) chain: marks (key, segment)-pairs present on the LEFT at even
+    # positions, carry-outs at odd positions offset toward the segments
+    # they serve; last(ignorenulls) over the per-key ordered frame pulls
+    # each mark's nearest donor segment. All inputs here are already
+    # reduced to O(keys x segments) rows.
+    marks = (
+        packed.filter(F.col(side) == 1).select(*on, split_col).distinct()
+    )
+    pos_off = 1 if backward else -1
+    chain = marks.select(
+        *on,
+        split_col,
+        (F.col(split_col) * 2).alias("__pos"),
+        F.lit(None).cast(carry_t).alias("__carry"),
+    ).unionByName(
+        carry_out.select(
+            *on,
+            split_col,
+            (F.col(split_col) * 2 + pos_off).alias("__pos"),
+            F.col("__carry"),
+        )
+    )
+    wc = (
+        Window.partitionBy(*[F.col(k) for k in on])
+        .orderBy(F.col("__pos").asc() if backward else F.col("__pos").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry_in = (
+        chain.select(
+            *on,
+            split_col,
+            F.col("__pos"),
+            F.last("__carry", ignorenulls=True).over(wc).alias("__carry"),
+        )
+        .filter((F.col("__pos") % 2 == 0) & F.col("__carry").isNotNull())
+    )
+
+    def _shape(c: str) -> Column:
+        if c in on or c == split_col:
+            return F.col(c)
+        if c == pack:
+            return F.col("__carry")
+        if c == ord_col:
+            return F.col(f"__carry.{ts_out}").cast(ord_t)
+        if c == side:
+            return F.lit(0)
+        return F.lit(None).cast(packed.schema[c].dataType)
+
+    synthetic = carry_in.select(*[_shape(c).alias(c) for c in packed.columns])
+    return packed.unionByName(synthetic), [F.col(split_col)]

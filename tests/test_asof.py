@@ -270,3 +270,148 @@ def test_tolerance_on_large_numeric_keys(spark):
         ).collect()
     }
     assert out == {"l0": "r0", "l1": None}
+
+
+# ------------------------------------------------ hot-key timeline split (r5)
+
+
+def _collect_sorted(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("splits", [2, 4, 7])
+def test_split_output_identical_random(spark, direction, splits):
+    left, right = _mk(spark, seed=SEED + splits)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    base = asof_join(l, r, on=["k"], ts="ts", direction=direction, tiebreak="rid")
+    split = asof_join(
+        l, r, on=["k"], ts="ts", direction=direction, tiebreak="rid",
+        hot_key_splits=splits,
+    )
+    assert _collect_sorted(split) == _collect_sorted(base)
+
+
+def test_split_output_identical_planted_hot_key(spark):
+    # one key holds ~90% of both sides — the scenario the rewrite exists
+    # for; output must be identical and the sweep window must partition
+    # by (key, segment), not key alone
+    rng = np.random.default_rng(3)
+    n = 4000
+    hot = rng.random(n) < 0.9
+    left = pd.DataFrame(
+        {
+            "k": np.where(hot, 0, rng.integers(1, 5, n)),
+            "ts": rng.integers(0, 100_000, n).astype("float64"),
+            "lid": np.arange(n, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n // 2) < 0.9, 0, rng.integers(1, 5, n // 2)),
+            "ts": rng.integers(0, 100_000, n // 2).astype("float64"),
+            "rid": np.arange(n // 2, dtype="int64"),
+        }
+    )
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    base = asof_join(l, r, on=["k"], ts="ts", tiebreak="rid")
+    split = asof_join(l, r, on=["k"], ts="ts", tiebreak="rid", hot_key_splits=8)
+    assert _collect_sorted(split) == _collect_sorted(base)
+    # plan evidence: the sweep's exchange/partitioning includes the
+    # segment column -> the hot key's rows spread over >1 task
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_split" in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_split_cross_segment_carry(spark, direction):
+    # rights live ONLY in the first (backward) / last (forward) segment;
+    # left rows in every other segment must still match via carry-in
+    lts = [float(t) for t in range(0, 1000, 10)]  # 100 left rows
+    left = spark.createDataFrame(
+        [(1, t, f"l{int(t)}") for t in lts], "k int, ts double, lid string"
+    )
+    rts_val = 5.0 if direction == "backward" else 995.0
+    right = spark.createDataFrame(
+        [(1, rts_val, "r_only")], "k int, ts double, rid string"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts="ts", direction=direction, hot_key_splits=5
+    )
+    matched = {r["lid"]: r["rid"] for r in out.collect()}
+    for t in lts:
+        want = (
+            "r_only"
+            if (t >= rts_val if direction == "backward" else t <= rts_val)
+            else None
+        )
+        assert matched[f"l{int(t)}"] == want, (t, direction)
+
+
+def test_split_with_tolerance_identical(spark):
+    left, right = _mk(spark, seed=77)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    base = asof_join(l, r, on=["k"], ts="ts", tolerance=500.0, tiebreak="rid")
+    split = asof_join(
+        l, r, on=["k"], ts="ts", tolerance=500.0, tiebreak="rid", hot_key_splits=4
+    )
+    assert _collect_sorted(split) == _collect_sorted(base)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_split_null_ts_left_rows_stay_unmatched(spark, direction):
+    left = spark.createDataFrame(
+        [(1, None, "lnull"), (1, 50.0, "l50"), (1, 950.0, "l950")],
+        "k int, ts double, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, float(t), f"r{t}") for t in range(0, 1000, 100)],
+        "k int, ts double, rid string",
+    )
+    out = asof_join(
+        left, right, on=["k"], ts="ts", direction=direction, hot_key_splits=4
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got["lnull"] is None
+    assert got["l50"] == ("r0" if direction == "backward" else "r100")
+    assert got["l950"] == ("r900" if direction == "backward" else None)
+
+
+def test_split_duplicate_right_ts_tiebreak(spark):
+    # duplicate (k, ts) right rows across a segment boundary's donor
+    # segment: the carry-out reduction must apply the same max-tiebreak
+    # rule as the in-segment sweep
+    left = spark.createDataFrame(
+        [(1, float(t), f"l{t}") for t in range(0, 1000, 50)],
+        "k int, ts double, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 5.0, "z"), (1, 5.0, "m")],
+        "k int, ts double, rid string",
+    )
+    out = asof_join(
+        left, right, on=["k"], ts="ts", tiebreak="rid", hot_key_splits=5
+    )
+    rids = {r["rid"] for r in out.filter("ts >= 5.0").collect()}
+    assert rids == {"z"}
+
+
+def test_split_degenerate_inputs(spark):
+    # constant left ts -> all quantiles equal -> effectively one segment
+    left = spark.createDataFrame(
+        [(1, 10.0, "l0"), (1, 10.0, "l1")], "k int, ts double, lid string"
+    )
+    right = spark.createDataFrame([(1, 5.0, "r0")], "k int, ts double, rid string")
+    out = asof_join(left, right, on=["k"], ts="ts", hot_key_splits=4)
+    assert {r["rid"] for r in out.collect()} == {"r0"}
+    # empty left -> no rows, no crash (quantile returns nothing)
+    empty = spark.createDataFrame([], "k int, ts double, lid string")
+    assert asof_join(empty, right, on=["k"], ts="ts", hot_key_splits=4).count() == 0
+
+
+def test_split_rejects_bad_arg(spark):
+    left = spark.createDataFrame([(1, 1.0, "x")], "k int, ts double, lid string")
+    with pytest.raises(ValueError, match="hot_key_splits"):
+        asof_join(left, left.drop("lid"), on=["k"], ts="ts", hot_key_splits=0)
