@@ -44,6 +44,10 @@ N_CONVS = int(os.environ.get("BENCH_CONVS", "250000"))
 # drifts between trials — single-shot numbers conflate plan changes
 # with host noise, see BENCH/BASELINE.md)
 REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
+# the headline validation_full number gets MORE reps plus one discarded
+# warm-up: the r4 record showed a 34% "regression" that a warm re-run
+# disproved — a single throttled window must not dominate the median
+V_REPS = max(1, int(os.environ.get("BENCH_V_REPS", str(max(REPS, 5)))))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 # representative operator queries timed at SF_DIR (subset of the driver set)
@@ -137,8 +141,11 @@ def main() -> None:
         spread[name] = [round(min(trials), 3), round(max(trials), 3)]
 
     paths = bench_fixture_paths(spark)
+    # discarded warm-up: first trial pays JIT/codegen/page-cache costs
+    # (and often lands in a cold host-cycle window); recorded separately
+    warmup_sec, _, _ = run_validation(spark, paths)
     v_trials, n_rows, n_violations = [], 0, 0
-    for _ in range(REPS):
+    for _ in range(V_REPS):
         elapsed, n_rows, n_violations = run_validation(spark, paths)
         v_trials.append(elapsed)
     timings["validation_full"] = round(_median(v_trials), 3)
@@ -155,6 +162,8 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "reps": REPS,
+                "v_reps": V_REPS,
+                "warmup_sec": round(warmup_sec, 3),
                 "sf": sf,
                 "validated_rows": n_rows,
                 "violations_found": n_violations,
