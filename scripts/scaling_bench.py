@@ -42,6 +42,15 @@ sys.path.insert(0, REPO)
 
 LEVELS = (8, 32)
 TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
+# r4/r5 operators also get paired N-vs-4N evidence: each runs as an
+# OPERATOR KERNEL over the cached multi-million-row fact table (the
+# sf0.1 driver queries finish in <1 s — far too small to exhibit
+# scaling; the kernel keeps the operator's exact plan shape at a size
+# where the exchange/window/sketch stages dominate)
+OPS = [o for o in os.environ.get(
+    "SCALING_OPS", "asof_join,interval_join,heavy_hitters"
+).split(",") if o and o != "none"]
+OPS_TRIALS = int(os.environ.get("SCALING_OPS_TRIALS", "1"))
 
 BENCH_CONF = {
     # finer input splits → multiple task waves → straggler smoothing
@@ -103,6 +112,69 @@ def run_level(cpus: int, cache: str, control: bool) -> None:
     spark.stop()
 
 
+def run_op(cpus: int, cache: str, op: str) -> None:
+    """One operator kernel over the cached fact table, timed after a
+    discarded warm-up run inside the same JVM (boot/JIT excluded)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(cpus, f"scaling-{op}-{cpus}")
+    fact = spark.read.parquet(f"{cache}/fact")
+    n = fact.count()
+    h = F.xxhash64("conv_id", "turn_idx")
+
+    def build():
+        if op == "asof_join":
+            # left = every turn, right = every 5th turn: the UNION +
+            # (key, ts) exchange + ordered sweep at |fact| scale
+            from hdfs_anomaly_detection_spark.operators import asof_join
+
+            left = fact.select("conv_id", "ts", "turn_idx")
+            right = fact.filter(F.pmod(h, F.lit(5)) == 0).select(
+                "conv_id", F.col("ts").alias("rts"), F.col("turn_idx").alias("r_turn")
+            )
+            return asof_join(
+                left, right, on=["conv_id"], ts="ts", right_ts="rts",
+                tiebreak="r_turn",
+            )
+        if op == "interval_join":
+            # hashed point values vs 2000 half-overlapping bands: the
+            # binned-rewrite explode + equi-shuffle + exact recheck
+            from hdfs_anomaly_detection_spark.operators import interval_join
+
+            pts = fact.select(
+                "conv_id", (F.pmod(h, F.lit(1_000_000))).cast("double").alias("v")
+            )
+            iv = spark.range(2000).select(
+                F.col("id").alias("band_id"),
+                (F.col("id") * 500.0).alias("lo"),
+                (F.col("id") * 500.0 + 1000.0).alias("hi"),
+            )
+            return interval_join(pts, iv, point_col="v", bin_size=500.0)
+        if op == "heavy_hitters":
+            # 7 planted hot keys over an otherwise ~unique key space:
+            # sketch pass + constant-folded admission + exact verify
+            from hdfs_anomaly_detection_spark.sketch import heavy_hitters
+
+            keyed = fact.select(
+                F.when(
+                    F.pmod(h, F.lit(10)) == 0,
+                    F.concat(F.lit("hot_"), F.pmod(h, F.lit(7)).cast("string")),
+                )
+                .otherwise(F.col("conv_id"))
+                .alias("k")
+            )
+            return heavy_hitters(keyed, "k", threshold=max(1000, n // 200))
+        raise ValueError(f"unknown scaling op {op!r}")
+
+    build().count()  # warm-up: JIT, codegen, page cache
+    t0 = time.time()
+    out_n = build().count()
+    elapsed = time.time() - t0
+    print(json.dumps({"cpus": cpus, "elapsed": elapsed, "rows": n,
+                      "out_rows": out_n, "kind": "op", "op": op}))
+    spark.stop()
+
+
 def _gen_cache(n_convs: int, cache: str) -> None:
     from hdfs_anomaly_detection_spark.constraints import TextEquals
     from hdfs_anomaly_detection_spark.constraints.runner import reference_hashes
@@ -137,11 +209,13 @@ def _gen_cache(n_convs: int, cache: str) -> None:
     spark.stop()
 
 
-def _run_sub(cpus: int, cache: str, control: bool = False) -> dict:
+def _run_sub(cpus: int, cache: str, control: bool = False, op: str | None = None) -> dict:
     args = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
             os.path.abspath(__file__), "--level", str(cpus), cache]
     if control:
         args.append("--control")
+    if op:
+        args += ["--op", op]
     env = {**os.environ, "PYTHONPATH": REPO,
            "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")}
     out = subprocess.run(args, capture_output=True, text=True, env=env, timeout=3600)
@@ -157,6 +231,10 @@ def _run_sub(cpus: int, cache: str, control: bool = False) -> dict:
 def main() -> None:
     if "--level" in sys.argv:
         i = sys.argv.index("--level")
+        if "--op" in sys.argv:
+            j = sys.argv.index("--op")
+            run_op(int(sys.argv[i + 1]), sys.argv[i + 2], sys.argv[j + 1])
+            return
         run_level(int(sys.argv[i + 1]), sys.argv[i + 2], "--control" in sys.argv)
         return
 
@@ -199,10 +277,61 @@ def main() -> None:
                           "ceff": round(ceff_t, 3),
                           "norm": round(trials[-1]["norm"], 3)}))
 
+    # per-operator paired windows (r5): each window runs ctl@lo, ctl@hi,
+    # then every op at lo and hi back-to-back — one normalized-efficiency
+    # sample per op per window, medians across OPS_TRIALS windows
     import statistics
+
+    op_samples: dict[str, list[dict]] = {op: [] for op in OPS}
+    for _ in range(OPS_TRIALS):
+        if not OPS:
+            break
+        cl = _run_sub(lo, cache, control=True)
+        ch = _run_sub(hi, cache, control=True)
+        ceff_w = (cl["elapsed"] / ch["elapsed"]) / (hi / lo)
+        for op in OPS:
+            ol = _run_sub(lo, cache, op=op)
+            oh = _run_sub(hi, cache, op=op)
+            eff = (ol["elapsed"] / oh["elapsed"]) / (hi / lo)
+            sample = {
+                "lo": ol, "hi": oh, "eff": eff, "ceff": ceff_w,
+                "norm": eff / ceff_w if ceff_w > 0 else float("nan"),
+            }
+            op_samples[op].append(sample)
+            print(json.dumps({"op": op, "eff": round(eff, 3),
+                              "ceff": round(ceff_w, 3),
+                              "norm": round(sample["norm"], 3)}))
 
     med = lambda k: statistics.median(tr[k] for tr in trials)  # noqa: E731
     jeff, ceff, norm = med("eff"), med("ceff"), med("norm")
+    ops_md = ""
+    if OPS and all(op_samples[op] for op in OPS):
+        lines = [
+            "",
+            "## Per-operator scaling (r4/r5 operators, paired windows)",
+            "",
+            "Operator kernels over the same cached fact table (the sf0.1",
+            "driver queries finish in <1 s — too small to exhibit scaling;",
+            "each kernel keeps the operator's exact plan shape: asof = union",
+            "+ keyed exchange + ordered sweep, interval = binned explode +",
+            f"equi-shuffle + recheck, heavy_hitters = sketch + admission +",
+            f"exact verify). {OPS_TRIALS} paired window(s), run back-to-back",
+            "with the hardware control; normalized = op_eff / that window's",
+            "control_eff (same convention as the headline job).",
+            "",
+            f"| operator kernel | wall@{lo} s | wall@{hi} s | raw eff | normalized |",
+            "|---|---|---|---|---|",
+        ]
+        for op in OPS:
+            ss = op_samples[op]
+            m = statistics.median(s["norm"] for s in ss)
+            best = min(ss, key=lambda s: abs(s["norm"] - m))
+            lines.append(
+                f"| {op} | {best['lo']['elapsed']:.2f} | "
+                f"{best['hi']['elapsed']:.2f} | "
+                f"{statistics.median(s['eff'] for s in ss):.3f} | {m:.3f} |"
+            )
+        ops_md = "\n".join(lines) + "\n"
     # representative wall times: the median-norm trial
     best = min(trials, key=lambda tr: abs(tr["norm"] - norm))
     job, ctl = best["job"], best["ctl"]
@@ -269,7 +398,7 @@ Values above 1.0 mean the job happened to scale better than the control
 in that window (both are noisy samples of the same drifting budget); the
 honest reading is "normalized efficiency ~ 1.0": the plan adds no
 scaling bottleneck beyond the hardware's own ceiling.
-
+{ops_md}
 Plan-shape notes (why the job tracks the control):
 * ONE hash(conv_id) exchange of a narrow pre-flagged frame serves the
   reference-equality SMJ, the conversations-dim SMJ, the ordering
@@ -287,7 +416,11 @@ Reproduce: `PYTHONPATH=. python3 scripts/scaling_bench.py {n_convs}`
     print(json.dumps({"efficiency_raw": round(jeff, 3),
                       "efficiency_control": round(ceff, 3),
                       "efficiency_normalized": round(norm, 3),
-                      "throughput": {str(k): round(v, 1) for k, v in jthr.items()}}))
+                      "throughput": {str(k): round(v, 1) for k, v in jthr.items()},
+                      "op_efficiency_normalized": {
+                          op: round(statistics.median(s["norm"] for s in ss), 3)
+                          for op, ss in op_samples.items() if ss
+                      }}))
 
 
 if __name__ == "__main__":
