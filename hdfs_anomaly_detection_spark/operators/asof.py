@@ -58,15 +58,17 @@ __all__ = ["asof_join"]
 
 def _seconds(c: Column, dtype: T.DataType) -> Column:
     """Ordering column as double seconds/key-units, branched on the
-    column's type: TIMESTAMP / TIMESTAMP_NTZ hop via TIMESTAMP (NTZ
-    refuses a direct double cast; session-UTC reinterpretation is a
-    constant offset, gap-invariant), everything else casts straight to
-    double — routing numerics through a timestamp cast would null out
-    values beyond the timestamp range (or sub-microsecond precision),
-    silently voiding tolerance matches for large non-epoch keys."""
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return c.cast("timestamp").cast("double")
-    return c.cast("double")
+    column's type: NUMERIC columns cast straight to double — routing
+    them through a timestamp cast would null out values beyond the
+    timestamp range (or sub-microsecond precision), silently voiding
+    tolerance matches for large non-epoch keys. Every other type
+    (TIMESTAMP, TIMESTAMP_NTZ, DATE, parseable strings) keeps the
+    timestamp hop: NTZ refuses a direct double cast (session-UTC
+    reinterpretation is a constant offset, gap-invariant), DATE has no
+    double cast at all, and strings parse via timestamp semantics."""
+    if isinstance(dtype, T.NumericType):
+        return c.cast("double")
+    return c.cast("timestamp").cast("double")
 
 
 def asof_join(

@@ -44,22 +44,31 @@ from pyspark.sql import functions as F
 
 __all__ = ["interval_join"]
 
-# bounded sample for the data-driven bin default: limit() short-circuits
-# the scan, so the probe costs one small job however large the table is
-_WIDTH_SAMPLE_CAP = 100_000
 _AMPLIFICATION_WARN = 10.0
 
 
-def _median_width(intervals: DataFrame, lo_col: str, hi_col: str) -> float | None:
+def _width_stats(
+    intervals: DataFrame, lo_col: str, hi_col: str
+) -> tuple[float, float] | None:
+    """(median, mean) interval width in ONE map-side-combined agg pass
+    over the full column (a limit()-prefix sample would bias the probe
+    on width-sorted/clustered tables; the interval side is the small
+    side of this join and gets scanned again by the join itself).
+    Returns None for an empty/all-null interval set."""
     lo = F.col(lo_col).cast("double")
     hi = F.col(hi_col).cast("double")
-    sample = (
+    row = (
         intervals.select((hi - lo).alias("__w"))
         .filter(F.col("__w").isNotNull() & (F.col("__w") >= 0))
-        .limit(_WIDTH_SAMPLE_CAP)
+        .agg(
+            F.percentile_approx("__w", F.lit(0.5), F.lit(1000)).alias("med"),
+            F.avg("__w").alias("mean"),
+        )
+        .first()
     )
-    qs = sample.approxQuantile("__w", [0.5], 0.01)
-    return qs[0] if qs else None
+    if row is None or row["med"] is None:
+        return None
+    return float(row["med"]), float(row["mean"])
 
 
 def interval_join(
@@ -80,12 +89,16 @@ def interval_join(
     ``on``       — optional extra equi-keys present in both frames.
     ``bin_size`` — domain units per bin (binned strategy); interval-side
                    row amplification is width/bin_size + 1. Default
-                   ``None`` derives it from the MEDIAN interval width of
-                   a bounded sample (one small extra job, capped at
-                   ``_WIDTH_SAMPLE_CAP`` rows), putting the typical
-                   amplification near 2; an explicit value far below
-                   the sampled median width triggers a warning when the
-                   estimated amplification exceeds ~10×.
+                   ``None`` derives it from the MEDIAN interval width
+                   (one map-side-combined agg pass over the interval
+                   side — full column, not a prefix sample, so
+                   width-sorted tables don't bias the probe), putting
+                   TYPICAL amplification near 2, and warns when the
+                   MEAN width says the tail still amplifies >~10×
+                   (heavy-tailed width distributions). An explicit
+                   value skips the probe entirely — the call stays a
+                   lazy plan builder and the caller owns the
+                   amplification trade-off.
     ``closed``   — ``left`` = [lo, hi) (default) or ``both`` = [lo, hi].
     ``strategy`` — ``binned`` (equi-join on bin, large×large) or
                    ``broadcast`` (range predicate vs broadcast intervals,
@@ -146,21 +159,30 @@ def interval_join(
 
     bin_col = "__ij_bin"
     if bin_size is None:
-        med = _median_width(intervals, lo_col, hi_col)
-        # median width ⇒ typical amplification ≈ 2; degenerate/empty
+        stats = _width_stats(intervals, lo_col, hi_col)
+        # median width ⇒ TYPICAL amplification ≈ 2; degenerate/empty
         # interval sets fall back to unit bins (g barely matters there)
+        med, mean = stats if stats else (0.0, 0.0)
         g = med if med else 1.0
-    else:
-        g = float(bin_size)
-        med = _median_width(intervals, lo_col, hi_col)
-        if med and med / g + 1 > _AMPLIFICATION_WARN:
+        # total explode rows = Σ(width/g + 1) = n·(mean/g + 1): the MEAN
+        # exposes a heavy tail the median hides (a catch-all band among
+        # narrow ones still blows up even with g = median)
+        if mean and mean / g + 1 > _AMPLIFICATION_WARN:
             warnings.warn(
-                f"interval_join bin_size={g} is far below the sampled median "
-                f"interval width {med:g}: estimated row amplification "
-                f"~{med / g + 1:.0f}x (each interval explodes to width/bin+1 "
-                "bin rows); pass bin_size=None to derive it from the data",
+                f"interval_join auto bin (median width {med:g}) still "
+                f"amplifies ~{mean / g + 1:.0f}x on AVERAGE — the width "
+                "distribution is heavy-tailed (a few very wide intervals "
+                "among narrow ones); pass an explicit bin_size near the "
+                "wide tail, or route the wide intervals through "
+                "strategy='broadcast'",
                 stacklevel=2,
             )
+    else:
+        # explicit bin: NO probe job — the call stays a pure lazy plan
+        # builder (probing here would recompute non-trivial interval
+        # lineage once per call for a diagnostics-only warning); the
+        # caller owns the width/bin_size amplification trade-off
+        g = float(bin_size)
     pts = points.filter(F.col(point_col).isNotNull()).withColumn(
         bin_col, F.floor(p / F.lit(g)).cast("long")
     )

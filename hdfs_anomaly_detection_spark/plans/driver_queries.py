@@ -656,6 +656,7 @@ t AS (SELECT part_id, cast(sum(na_x) AS BIGINT) AS n_base,
 SELECT c.part_id, round(max(abs(cca * 1.0 / n_base - ccb * 1.0 / n_cur)), 6) AS ks_stat,
        t.n_base, t.n_cur
 FROM c JOIN t ON c.part_id = t.part_id
+WHERE t.n_base > 0 AND t.n_cur > 0
 GROUP BY c.part_id, t.n_base, t.n_cur
 """,
 )

@@ -415,3 +415,29 @@ def test_split_rejects_bad_arg(spark):
     left = spark.createDataFrame([(1, 1.0, "x")], "k int, ts double, lid string")
     with pytest.raises(ValueError, match="hot_key_splits"):
         asof_join(left, left.drop("lid"), on=["k"], ts="ts", hot_key_splits=0)
+
+
+def test_tolerance_on_date_and_string_ordering_columns(spark):
+    # DateType and ISO-string ordering columns must keep working via the
+    # timestamp hop (the numeric fast path must not capture them):
+    # date has no direct double cast, string would null out
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10), "l0")], "k int, ts date, lid string"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 8), "r0"), (1, dt.date(2023, 1, 1), "r1")],
+        "k int, ts date, rid string",
+    )
+    out = asof_join(left, right, on=["k"], ts="ts", tolerance=3 * 86400.0).collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [("l0", "r0")]
+
+    lefts = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", "l0")], "k int, ts string, lid string"
+    )
+    rights = spark.createDataFrame(
+        [(1, "2024-01-08 00:00:00", "r0")], "k int, ts string, rid string"
+    )
+    outs = asof_join(lefts, rights, on=["k"], ts="ts", tolerance=3 * 86400.0).collect()
+    assert [(r["lid"], r["rid"]) for r in outs] == [("l0", "r0")]

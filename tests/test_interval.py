@@ -209,13 +209,13 @@ def test_auto_bin_bounds_amplification_on_wide_intervals(spark):
     # width ~1e6 intervals with the old fixed default (1.0) would have
     # exploded each interval into ~1e6 bin rows; the sampled-median
     # default keeps the explode factor ~2
-    from hdfs_anomaly_detection_spark.operators.interval import _median_width
+    from hdfs_anomaly_detection_spark.operators.interval import _width_stats
 
     iv = spark.createDataFrame(
         [(float(i) * 1e6, float(i) * 1e6 + 1e6, i) for i in range(50)],
         "lo double, hi double, iid int",
     )
-    med = _median_width(iv, "lo", "hi")
+    med, _mean = _width_stats(iv, "lo", "hi")
     assert med == pytest.approx(1e6, rel=0.05)
     pts = spark.createDataFrame([(5e5,)], "p double")
     out = interval_join(pts, iv, point_col="p")
@@ -233,14 +233,29 @@ def test_auto_bin_bounds_amplification_on_wide_intervals(spark):
     assert exploded.count() <= 50 * 3
 
 
-def test_tiny_explicit_bin_warns_amplification(spark):
-    iv = spark.createDataFrame(
-        [(0.0, 1000.0, 1), (500.0, 1500.0, 2)], "lo double, hi double, iid int"
-    )
-    pts = spark.createDataFrame([(10.0,)], "p double")
-    with pytest.warns(UserWarning, match="amplification"):
-        out = interval_join(pts, iv, point_col="p", bin_size=1.0)
-        assert out.count() == 1  # still correct, just warned
+def test_auto_bin_warns_on_heavy_tailed_widths(spark):
+    # many narrow bands plus a catch-all: g = median hides the tail,
+    # the MEAN-based estimate must surface it (total explode rows =
+    # n * (mean/g + 1))
+    rows = [(float(i), float(i) + 1.0, i) for i in range(200)]
+    rows.append((0.0, 1.0e5, 999))  # the catch-all band
+    iv = spark.createDataFrame(rows, "lo double, hi double, iid int")
+    pts = spark.createDataFrame([(10.5,)], "p double")
+    with pytest.warns(UserWarning, match="heavy-tailed"):
+        out = interval_join(pts, iv, point_col="p")
+        assert out.count() == 2  # band 10 + the catch-all; still correct
+
+
+def test_explicit_bin_builds_lazily_without_probe_job(spark):
+    # an explicit bin_size must NOT trigger the width probe (a Spark
+    # action) at plan-build time — composability inside foreachBatch /
+    # plan-building loops depends on it
+    iv = spark.createDataFrame([(0.0, 10.0, 1)], "lo double, hi double, iid int")
+    pts = spark.createDataFrame([(5.0,)], "p double")
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    interval_join(pts, iv, point_col="p", bin_size=5.0)  # build only
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)
 
 
 def test_degenerate_intervals_fall_back_to_unit_bins(spark):
