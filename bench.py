@@ -68,6 +68,8 @@ QUERY_NAMES = [
     "q_asof_join",
     "q_range_join",
     "q_heavy_hitters",
+    # r5
+    "q_ks_exact",
 ]
 
 
