@@ -303,6 +303,12 @@ def _timeline_split(
     target segment and sorts first in the sweep — tiebreak-irrelevant.
     Null-ts left rows go to the edge segment that receives no carry-in
     (0 for backward, last for forward), keeping them unmatchable.
+
+    STRING ordering columns: segments cut on parsed-timestamp seconds
+    while the in-segment sweep sorts lexicographically — consistent
+    for ISO-formatted strings (lexicographic == chronological), the
+    only string format the unsplit sweep orders meaningfully anyway;
+    rows whose strings fail to parse land in segment 0 on both sides.
     """
     backward = direction == "backward"
     split_col = "__asof_split"
