@@ -298,6 +298,8 @@ def main() -> None:
                 "norm": eff / ceff_w if ceff_w > 0 else float("nan"),
             }
             op_samples[op].append(sample)
+            for r in (ol, oh):
+                print(json.dumps({**r, "op": op}))
             print(json.dumps({"op": op, "eff": round(eff, 3),
                               "ceff": round(ceff_w, 3),
                               "norm": round(sample["norm"], 3)}))
@@ -317,7 +319,11 @@ def main() -> None:
             f"equi-shuffle + recheck, heavy_hitters = sketch + admission +",
             f"exact verify). {OPS_TRIALS} paired window(s), run back-to-back",
             "with the hardware control; normalized = op_eff / that window's",
-            "control_eff (same convention as the headline job).",
+            "control_eff (same convention as the headline job); walls are",
+            "per-level medians across windows. Sub-second kernels (asof's",
+            "sweep is ~0.6 s here) are dominated by per-stage fixed",
+            "overhead, which compresses their measured efficiency — treat",
+            "those rows as lower bounds.",
             "",
             f"| operator kernel | wall@{lo} s | wall@{hi} s | raw eff | normalized |",
             "|---|---|---|---|---|",
@@ -325,19 +331,28 @@ def main() -> None:
         for op in OPS:
             ss = op_samples[op]
             m = statistics.median(s["norm"] for s in ss)
-            best = min(ss, key=lambda s: abs(s["norm"] - m))
             lines.append(
-                f"| {op} | {best['lo']['elapsed']:.2f} | "
-                f"{best['hi']['elapsed']:.2f} | "
+                f"| {op} | "
+                f"{statistics.median(s['lo']['elapsed'] for s in ss):.2f} | "
+                f"{statistics.median(s['hi']['elapsed'] for s in ss):.2f} | "
                 f"{statistics.median(s['eff'] for s in ss):.3f} | {m:.3f} |"
             )
         ops_md = "\n".join(lines) + "\n"
-    # representative wall times: the median-norm trial
-    best = min(trials, key=lambda tr: abs(tr["norm"] - norm))
-    job, ctl = best["job"], best["ctl"]
-    jthr = {c: job[c]["rows"] / job[c]["elapsed"] for c in LEVELS}
-    cthr = {c: ctl[c]["rows"] / ctl[c]["elapsed"] for c in LEVELS}
-    rows = job[lo]["rows"]
+    # wall-time tables: per-level MEDIANS across trials (a single
+    # representative window can land on a throttled budget sample and
+    # show hi slower than lo in absolute terms; efficiencies stay
+    # within-window-paired regardless)
+    jwall = {c: statistics.median(tr["job"][c]["elapsed"] for tr in trials)
+             for c in LEVELS}
+    cwall = {c: statistics.median(tr["ctl"][c]["elapsed"] for tr in trials)
+             for c in LEVELS}
+    rows = trials[0]["job"][lo]["rows"]
+    jthr = {c: rows / jwall[c] for c in LEVELS}
+    cthr = {c: rows / cwall[c] for c in LEVELS}
+    job = {c: {"elapsed": jwall[c]} for c in LEVELS}
+    ctl = {c: {"elapsed": cwall[c]} for c in LEVELS}
+    violations = trials[0]["job"][lo]["violations"]
+    violations_hi = trials[0]["job"][hi]["violations"]
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — Two-parallelism scaling evidence (north_rule criterion)
@@ -350,8 +365,9 @@ pinned parallelism levels (`taskset -c 0-(N-1) … local[N]`, shuffle
 partitions = 2N). The host's granted cycle budget drifts over tens of
 minutes (2-3x), so each of the {TRIALS} trials runs job@{lo}, job@{hi},
 control@{lo}, control@{hi} back-to-back inside one tight window and
-yields one paired efficiency sample; the table shows the median trial
-and the efficiencies are medians across trials.
+yields one paired efficiency sample; wall times are per-level medians
+across trials and the efficiencies are medians of the per-trial
+(window-paired) samples.
 
 | parallelism | wall sec | validated turns/sec |
 |---|---|---|
@@ -391,8 +407,8 @@ own scaling the plan retains; shuffles/joins/stage barriers cost the
 remainder. This is the number comparable to a real multi-executor
 scale-out, where the control would be ~1.0.
 
-Violations found (identical at both levels): {job[lo]["violations"]:,} vs
-{job[hi]["violations"]:,}.
+Violations found (identical at both levels): {violations:,} vs
+{violations_hi:,}.
 
 Values above 1.0 mean the job happened to scale better than the control
 in that window (both are noisy samples of the same drifting budget); the
