@@ -11,6 +11,15 @@ from hdfs_anomaly_detection_spark.streaming.validate_stream import (  # noqa: F4
     streaming_violations,
     windowed_violation_counts,
 )
+from hdfs_anomaly_detection_spark.streaming.graceful import (  # noqa: F401
+    DRAINED,
+    GRACE_EXPIRED,
+    TERMINATED,
+    await_drain,
+    clear_stop,
+    request_stop,
+    stop_requested,
+)
 from hdfs_anomaly_detection_spark.streaming.heavy_hitters import (  # noqa: F401
     StreamingHeavyHitters,
 )
