@@ -75,10 +75,12 @@ def await_drain(
 
     Returns one of:
 
-    * ``"terminated"`` — the query ended on its own (e.g. an
-      ``availableNow`` trigger ran out of input, or it failed — a
-      query exception re-raises here exactly as ``awaitTermination``
-      would);
+    * ``"terminated"`` — the query ended on its own, before or during
+      the drain (e.g. an ``availableNow`` trigger ran out of input, or
+      it failed — a query exception re-raises here exactly as
+      ``awaitTermination`` would); never conflated with ``"drained"``,
+      so orchestrators can rely on ``"drained"`` meaning "stopped
+      early, unprocessed backlog may remain";
     * ``"drained"`` — stop marker seen, in-flight epoch completed,
       query stopped at an epoch boundary;
     * ``"grace_expired"`` — stop marker seen but the in-flight trigger
@@ -90,6 +92,19 @@ def await_drain(
     The marker is deliberately NOT cleared here: a drain that races a
     concurrent restart must stop that restart too; call
     :func:`clear_stop` when the pipeline should come back up.
+
+    Saturated-backlog caveat: Spark has no public "stop after the
+    current epoch" API, so the boundary is caught by observing the
+    trigger go idle. Under a deep backlog back-to-back triggers leave
+    only a millisecond-scale idle gap; the 2 ms driver-side spin below
+    catches most such gaps, but when the source saturates the trigger
+    continuously a clean boundary may never be observable and the
+    grace kill is the designed outcome — safe exactly because the
+    engine's epoch sinks are idempotent (manifest fingerprints /
+    epoch-watermarked folds), so the interrupted epoch replays without
+    double effects. Pair a non-idempotent custom sink with a bounded
+    epoch (``maxFilesPerTrigger``/``maxOffsetsPerTrigger``) and a
+    generous ``grace_secs``, or make it idempotent.
     """
     while True:
         # awaitTermination(timeout) doubles as the poll sleep and the
@@ -106,7 +121,14 @@ def await_drain(
             query.stop()
             query.awaitTermination()
             return GRACE_EXPIRED
-        time.sleep(min(0.1, poll_secs))
+        # tight spin: the idle window between back-to-back triggers can
+        # be milliseconds wide; a coarse poll would sample past it
+        time.sleep(0.002)
+    if not query.isActive:
+        # the query ended on its own while we were draining — report
+        # that (and surface its exception, if any), not a clean drain
+        query.awaitTermination()
+        return TERMINATED
     query.stop()
     query.awaitTermination()
     return DRAINED

@@ -299,7 +299,7 @@ def main() -> None:
             }
             op_samples[op].append(sample)
             for r in (ol, oh):
-                print(json.dumps({**r, "op": op}))
+                print(json.dumps(r))  # run_op already tags "op"
             print(json.dumps({"op": op, "eff": round(eff, 3),
                               "ceff": round(ceff_w, 3),
                               "norm": round(sample["norm"], 3)}))

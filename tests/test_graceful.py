@@ -158,6 +158,31 @@ def test_grace_expired_stops_anyway(spark, tmp_path):
     assert time.monotonic() - t0 < 10
 
 
+def test_natural_termination_during_drain_reports_terminated(spark, tmp_path):
+    """A query that finishes on its own while the drain is waiting for
+    the trigger to go idle must report TERMINATED, not DRAINED — an
+    orchestrator reads DRAINED as 'backlog may remain, resume later'."""
+    marker = str(tmp_path / "_STOP")
+    request_stop(spark, marker)
+
+    class _FinishesItself(_StuckQuery):
+        def __init__(self):
+            super().__init__()
+            self._done_at = time.monotonic() + 0.2
+
+        @property
+        def isActive(self):
+            return time.monotonic() < self._done_at
+
+        @isActive.setter
+        def isActive(self, v):  # base __init__ assigns it
+            pass
+
+    q = _FinishesItself()
+    assert await_drain(q, spark, marker, poll_secs=0.05) == TERMINATED
+    assert not q.stopped  # never stopped by us — it ended on its own
+
+
 def test_drain_with_no_grace_waits_for_idle(spark, tmp_path):
     """grace_secs=None waits as long as the trigger is active; once the
     fake trigger goes idle the drain completes cleanly."""
